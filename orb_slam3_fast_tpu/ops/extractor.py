@@ -1,0 +1,279 @@
+"""ORB feature extraction pipeline: pyramid -> FAST -> NMS -> select ->
+orientation -> rotated-BRIEF descriptors.
+
+TPU-native replacement for the fork's TBB-parallel ``ORBextractor``
+(``/root/reference/src/ORBextractor.cc``): the nested
+levels x rows x cols x keypoints TBB loops (764-884, 1063-1101) become a
+handful of whole-image batched ops per pyramid level inside ONE jitted
+program; the sequential quad-tree ``DistributeOctTree`` (557-757) becomes a
+vectorized per-cell ranked selection with identical intent (spatially even
+top-response keypoints, SURVEY.md §7 "hard parts").
+
+Output is a fixed-capacity SoA ``Keypoints`` batch (static shapes, validity
+mask) — the XLA-friendly stand-in for ``vector<cv::KeyPoint>``.
+
+Descriptors are 256-bit rotated BRIEF stored *unpacked* as (N,256) int8 in
+{0,1}: Hamming distance then becomes an int8 MXU matmul (see ops/hamming.py).
+The sampling pattern is generated once from a fixed seed, i.i.d. Gaussian
+clipped to a radius-13 disc (classic BRIEF construction) — descriptor *parity*
+with OpenCV's learned pattern is not required (ATE is the gate), but the
+pattern is deterministic and versioned for map/vocabulary compatibility.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_fast_tpu.ops import fast as fast_ops
+from orb_slam3_fast_tpu.ops import image as image_ops
+
+EDGE_BORDER = 16  # reference minBorder = EDGE_THRESHOLD - 3 (ORBextractor.cc:762)
+PATCH_RADIUS = 15  # HALF_PATCH_SIZE (ORBextractor.cc:73)
+
+
+class ExtractorConfig(NamedTuple):
+    n_features: int = 1024
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    cell: int = 32  # NMS/selection cell (reference uses 35px, ORBextractor.cc:788)
+    cand_per_cell: int = 8
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint batch; coordinates in level-0 pixels."""
+
+    xy: jnp.ndarray  # (N,2) float32 [x, y] level-0 scale
+    level: jnp.ndarray  # (N,) int32
+    angle: jnp.ndarray  # (N,) float32 radians
+    response: jnp.ndarray  # (N,) float32
+    desc: jnp.ndarray  # (N,256) int8 in {0,1}
+    valid: jnp.ndarray  # (N,) bool
+
+    @property
+    def n(self):
+        return self.xy.shape[0]
+
+
+def per_level_budget(n_features: int, n_levels: int, scale_factor: float) -> list[int]:
+    """Geometric per-level feature budget (reference ctor ORBextractor.cc:427-446)."""
+    factor = 1.0 / scale_factor
+    n_first = n_features * (1 - factor) / (1 - factor**n_levels)
+    budget = []
+    acc = 0
+    for l in range(n_levels - 1):
+        k = int(round(n_first * factor**l))
+        budget.append(k)
+        acc += k
+    budget.append(max(n_features - acc, 0))
+    return budget
+
+
+# ---------------------------------------------------------------------------
+# BRIEF pattern + orientation tables (host-side constants)
+# ---------------------------------------------------------------------------
+
+
+def make_brief_pattern(seed: int = 42, n_bits: int = 256, radius: float = 13.0) -> np.ndarray:
+    """(n_bits, 4) int32 [x1,y1,x2,y2], i.i.d. N(0, (2r/5)^2) clipped to the
+    radius disc so rotated samples stay inside the 16px border."""
+    rng = np.random.default_rng(seed)
+    pts = np.empty((n_bits * 2, 2), dtype=np.float64)
+    got = 0
+    while got < n_bits * 2:
+        cand = rng.normal(0.0, radius * 2 / 5, size=(n_bits * 4, 2))
+        keep = cand[np.linalg.norm(cand, axis=1) <= radius]
+        take = min(len(keep), n_bits * 2 - got)
+        pts[got : got + take] = keep[:take]
+        got += take
+    p = np.round(pts).astype(np.int32)
+    return np.concatenate([p[:n_bits], p[n_bits:]], axis=1)  # x1 y1 x2 y2
+
+
+BRIEF_PATTERN = make_brief_pattern()
+
+
+def _circular_umax(radius: int = PATCH_RADIUS) -> np.ndarray:
+    """Half-width of the circular patch per row (reference umax, ORBextractor.cc:452-469)."""
+    umax = np.zeros(radius + 1, dtype=np.int32)
+    vmax = int(math.floor(radius * math.sqrt(2.0) / 2 + 1))
+    vmin = int(math.ceil(radius * math.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(math.sqrt(radius * radius - v * v)))
+    v0 = 0
+    for v in range(radius, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax
+
+
+def _circular_mask(radius: int = PATCH_RADIUS) -> np.ndarray:
+    """(2r+1, 2r+1) bool circular mask matching the reference's umax patch."""
+    umax = _circular_umax(radius)
+    d = 2 * radius + 1
+    m = np.zeros((d, d), dtype=bool)
+    for v in range(-radius, radius + 1):
+        u = umax[abs(v)]
+        m[v + radius, radius - u : radius + u + 1] = True
+    return m
+
+
+CIRC_MASK = _circular_mask()
+_ys, _xs = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
+IC_X = (_xs * CIRC_MASK).astype(np.float32)
+IC_Y = (_ys * CIRC_MASK).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Keypoint selection (octree-NMS equivalent)
+# ---------------------------------------------------------------------------
+
+
+def select_keypoints(score: jnp.ndarray, n_target: int, cell: int, cand_per_cell: int):
+    """Spatially-even top-response selection.
+
+    Equivalent in intent to ``DistributeOctTree`` (ORBextractor.cc:557-757):
+    every cell's best corner is preferred over any cell's second-best, then
+    second-bests compete, etc.; ties broken by response.  Returns
+    (xy (n,2) int32, resp (n,), valid (n,)).
+    """
+    h, w = score.shape
+    ph, pw = (-h) % cell, (-w) % cell
+    sp = jnp.pad(score, ((0, ph), (0, pw)), constant_values=0.0)
+    gh, gw = (h + ph) // cell, (w + pw) // cell
+    cells = sp.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh * gw, cell * cell)
+    top_v, top_i = jax.lax.top_k(cells, cand_per_cell)  # (C, K)
+    # flat pixel coords of candidates
+    cy = (jax.lax.broadcasted_iota(jnp.int32, (gh * gw, cand_per_cell), 0) // gw) * cell
+    cx = (jax.lax.broadcasted_iota(jnp.int32, (gh * gw, cand_per_cell), 0) % gw) * cell
+    py = cy + top_i // cell
+    px = cx + top_i % cell
+    rank = jax.lax.broadcasted_iota(jnp.int32, (gh * gw, cand_per_cell), 1)
+    # priority: smaller is better; invalid (zero score) -> +inf
+    prio = rank.astype(jnp.float32) * 1.0e6 - jnp.minimum(top_v, 0.99e6)
+    prio = jnp.where(top_v > 0.0, prio, jnp.inf)
+    flat_prio = prio.reshape(-1)
+    sel_v, sel = jax.lax.top_k(-flat_prio, n_target)
+    xy = jnp.stack([px.reshape(-1)[sel], py.reshape(-1)[sel]], axis=-1)
+    resp = top_v.reshape(-1)[sel]
+    valid = jnp.isfinite(-sel_v)
+    return xy, resp, valid
+
+
+# ---------------------------------------------------------------------------
+# Orientation + descriptors
+# ---------------------------------------------------------------------------
+
+
+def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation (reference IC_Angle, ORBextractor.cc:75-100).
+
+    xy: (N,2) int32 pixel coords on this level.  Returns (N,) radians.
+    Out-of-range keypoints read clamped patches — callers mask them.
+    """
+    r = PATCH_RADIUS
+    pad = jnp.pad(img, r, mode="edge")
+    icx = jnp.asarray(IC_X)
+    icy = jnp.asarray(IC_Y)
+
+    def one(p):
+        patch = jax.lax.dynamic_slice(pad, (p[1], p[0]), (2 * r + 1, 2 * r + 1))
+        m10 = jnp.sum(patch * icx)
+        m01 = jnp.sum(patch * icy)
+        return jnp.arctan2(m01, m10)
+
+    return jax.vmap(one)(xy)
+
+
+def brief_descriptors(
+    img_blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotated-BRIEF (reference computeOrbDescriptor, ORBextractor.cc:102-147).
+
+    img_blur: blurred level image.  xy (N,2) int32, angle (N,).  Returns
+    (N,256) int8 in {0,1}.  Sampling is nearest-neighbor of the rotated
+    integer pattern, as in the reference (cvRound of rotated offsets).
+    """
+    h, w = img_blur.shape
+    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256,4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (N,)
+    # rotate both endpoints of every pair: (N,256)
+    x1 = pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]
+    y1 = pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]
+    x2 = pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None]
+    y2 = pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None]
+    cx = xy[:, 0:1].astype(jnp.float32)
+    cy = xy[:, 1:2].astype(jnp.float32)
+    ix1 = jnp.clip(jnp.round(cx + x1).astype(jnp.int32), 0, w - 1)
+    iy1 = jnp.clip(jnp.round(cy + y1).astype(jnp.int32), 0, h - 1)
+    ix2 = jnp.clip(jnp.round(cx + x2).astype(jnp.int32), 0, w - 1)
+    iy2 = jnp.clip(jnp.round(cy + y2).astype(jnp.int32), 0, h - 1)
+    flat = img_blur.reshape(-1)
+    v1 = flat[iy1 * w + ix1]
+    v2 = flat[iy2 * w + ix2]
+    return (v1 < v2).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# Full extractor
+# ---------------------------------------------------------------------------
+
+
+def total_capacity(cfg: ExtractorConfig) -> int:
+    return sum(per_level_budget(cfg.n_features, cfg.n_levels, cfg.scale_factor))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypoints:
+    """Full ORB extraction on one grayscale image (H,W) float32 in [0,255].
+
+    One jitted program covering what the reference spreads over
+    ``ComputePyramid`` + TBB keypoint/descriptor loops
+    (ORBextractor.cc:1015-1106).
+    """
+    levels = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    budgets = per_level_budget(cfg.n_features, cfg.n_levels, cfg.scale_factor)
+    outs = []
+    for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
+        h, w = lvl_img.shape
+        score = fast_ops.fast_with_fallback(lvl_img, cfg.ini_th_fast, cfg.min_th_fast)
+        score = fast_ops.nonmax_3x3(score)
+        # keep clear of the descriptor border
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        inb = (
+            (yy >= EDGE_BORDER)
+            & (yy < h - EDGE_BORDER)
+            & (xx >= EDGE_BORDER)
+            & (xx < w - EDGE_BORDER)
+        )
+        score = jnp.where(inb, score, 0.0)
+        xy, resp, valid = select_keypoints(score, n_l, cfg.cell, cfg.cand_per_cell)
+        ang = ic_angles(lvl_img, xy)
+        blur = image_ops.gaussian_blur(lvl_img)
+        desc = brief_descriptors(blur, xy, ang)
+        scale = cfg.scale_factor**l
+        outs.append(
+            Keypoints(
+                xy=xy.astype(jnp.float32) * scale,
+                level=jnp.full((n_l,), l, dtype=jnp.int32),
+                angle=ang,
+                response=resp,
+                desc=desc,
+                valid=valid,
+            )
+        )
+    return Keypoints(*[jnp.concatenate([getattr(o, f) for o in outs], axis=0) for f in Keypoints._fields])
+
+
+def level_sigma2(cfg: ExtractorConfig) -> np.ndarray:
+    """Per-level scale^2 (reference mvLevelSigma2) for chi2 weighting."""
+    return (cfg.scale_factor ** (2.0 * np.arange(cfg.n_levels))).astype(np.float32)
