@@ -1,0 +1,388 @@
+"""Two-view reconstruction for monocular map bootstrap.
+
+TPU-native replacement for ``TwoViewReconstruction``
+(``/root/reference/src/TwoViewReconstruction.cc``): instead of 200 sequential
+RANSAC iterations with early exits in two std::threads (H and F fitted
+concurrently, :103-117), ALL hypotheses for BOTH models are evaluated in one
+batched program (batched-hypothesis RANSAC, SURVEY.md §7 "hard parts"):
+
+  sample (I,8) correspondences -> vmapped normalized 8-point F and DLT H ->
+  symmetric-transfer scores for every (hypothesis, point) pair -> argmax ->
+  model selection RH = SH/(SH+SF) > 0.5 (:44-130) -> motion decomposition
+  (4 E-motions / 8 Faugeras H-motions) -> batched triangulation + cheirality/
+  parallax/reprojection scoring (CheckRT, :443-545) -> best motion.
+
+Coordinates: callers pass *pixel* keypoints and the camera; points are
+unprojected to the normalized plane internally (works for fisheye too, which
+is how the reference routes KB8 two-view init through unprojected rays).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_fast_tpu.cameras import models as cam_models
+from orb_slam3_fast_tpu.utils import lie
+
+SIGMA = 1.0  # reference mSigma
+TH_F = 3.841  # CheckFundamental per-direction chi2 (1 DoF)
+TH_SCORE_F = 5.991
+TH_H = 5.991  # CheckHomography chi2 (2 DoF)
+
+
+def _normalize(pts, valid):
+    """Hartley normalization (reference Normalize, TwoViewReconstruction.cc:374-410)."""
+    n = jnp.maximum(jnp.sum(valid), 1)
+    mean = jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0) / n
+    d = jnp.where(valid[:, None], jnp.abs(pts - mean), 0.0)
+    meandev = jnp.sum(d, axis=0) / n
+    s = 1.0 / jnp.maximum(meandev, 1e-8)
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    ) * jnp.concatenate([s, jnp.ones(1)])[:, None]
+    T = T.at[0, 2].set(-mean[0] * s[0])
+    T = T.at[1, 2].set(-mean[1] * s[1])
+    return (pts - mean) * s, T
+
+
+def _fit_f8(x0, x1):
+    """Normalized 8-point fundamental matrix for one sample: (8,2),(8,2)->(3,3)."""
+    a = jnp.stack(
+        [
+            x1[:, 0] * x0[:, 0],
+            x1[:, 0] * x0[:, 1],
+            x1[:, 0],
+            x1[:, 1] * x0[:, 0],
+            x1[:, 1] * x0[:, 1],
+            x1[:, 1],
+            x0[:, 0],
+            x0[:, 1],
+            jnp.ones(8),
+        ],
+        axis=-1,
+    )  # (8,9)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    F = vt[-1].reshape(3, 3)
+    # enforce rank 2
+    u, s, vt2 = jnp.linalg.svd(F)
+    return u @ jnp.diag(s.at[2].set(0.0)) @ vt2
+
+
+def _fit_h8(x0, x1):
+    """DLT homography from 8 points (reference uses 8 too, ComputeH21)."""
+    zeros = jnp.zeros(8)
+    ones = jnp.ones(8)
+    r1 = jnp.stack(
+        [x0[:, 0], x0[:, 1], ones, zeros, zeros, zeros, -x1[:, 0] * x0[:, 0], -x1[:, 0] * x0[:, 1], -x1[:, 0]],
+        axis=-1,
+    )
+    r2 = jnp.stack(
+        [zeros, zeros, zeros, x0[:, 0], x0[:, 1], ones, -x1[:, 1] * x0[:, 0], -x1[:, 1] * x0[:, 1], -x1[:, 1]],
+        axis=-1,
+    )
+    a = jnp.concatenate([r1, r2], axis=0)  # (16,9)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    return vt[-1].reshape(3, 3)
+
+
+def _refit_f(x0, x1, inlier, valid):
+    """Least-squares F on all inliers (rows of non-inliers zeroed)."""
+    w = (inlier & valid).astype(x0.dtype)[:, None]
+    xn0, T0 = _normalize(x0, inlier & valid)
+    xn1, T1 = _normalize(x1, inlier & valid)
+    a = jnp.stack(
+        [
+            xn1[:, 0] * xn0[:, 0], xn1[:, 0] * xn0[:, 1], xn1[:, 0],
+            xn1[:, 1] * xn0[:, 0], xn1[:, 1] * xn0[:, 1], xn1[:, 1],
+            xn0[:, 0], xn0[:, 1], jnp.ones_like(xn0[:, 0]),
+        ],
+        axis=-1,
+    ) * w
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    F = vt[-1].reshape(3, 3)
+    u, s, vt2 = jnp.linalg.svd(F)
+    F = u @ jnp.diag(s.at[2].set(0.0)) @ vt2
+    return T1.T @ F @ T0
+
+
+def _refit_h(x0, x1, inlier, valid):
+    w = (inlier & valid).astype(x0.dtype)[:, None]
+    xn0, T0 = _normalize(x0, inlier & valid)
+    xn1, T1 = _normalize(x1, inlier & valid)
+    zeros = jnp.zeros_like(xn0[:, 0])
+    ones = jnp.ones_like(xn0[:, 0])
+    r1 = jnp.stack(
+        [xn0[:, 0], xn0[:, 1], ones, zeros, zeros, zeros,
+         -xn1[:, 0] * xn0[:, 0], -xn1[:, 0] * xn0[:, 1], -xn1[:, 0]], axis=-1)
+    r2 = jnp.stack(
+        [zeros, zeros, zeros, xn0[:, 0], xn0[:, 1], ones,
+         -xn1[:, 1] * xn0[:, 0], -xn1[:, 1] * xn0[:, 1], -xn1[:, 1]], axis=-1)
+    a = jnp.concatenate([r1 * w, r2 * w], axis=0)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    H = vt[-1].reshape(3, 3)
+    return jnp.linalg.inv(T1) @ H @ T0
+
+
+def _score_f(F, x0, x1, valid, sigma2):
+    """Symmetric epipolar-transfer score (CheckFundamental, :545-637)."""
+    x0h = jnp.concatenate([x0, jnp.ones_like(x0[:, :1])], axis=-1)
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    l1 = x0h @ F.T  # lines in image 1
+    l0 = x1h @ F  # lines in image 0
+    d1 = jnp.sum(l1 * x1h, axis=-1) ** 2 / jnp.maximum(l1[:, 0] ** 2 + l1[:, 1] ** 2, 1e-12)
+    d0 = jnp.sum(l0 * x0h, axis=-1) ** 2 / jnp.maximum(l0[:, 0] ** 2 + l0[:, 1] ** 2, 1e-12)
+    c1 = d1 / sigma2
+    c0 = d0 / sigma2
+    in1 = c1 <= TH_F
+    in0 = c0 <= TH_F
+    s = jnp.where(in1, TH_SCORE_F - c1, 0.0) + jnp.where(in0, TH_SCORE_F - c0, 0.0)
+    inl = in0 & in1 & valid
+    return jnp.sum(jnp.where(valid, s, 0.0)), inl
+
+
+def _score_h(H, x0, x1, valid, sigma2):
+    """Symmetric homography-transfer score (CheckHomography, :462-545)."""
+    Hinv = jnp.linalg.inv(H)
+    x0h = jnp.concatenate([x0, jnp.ones_like(x0[:, :1])], axis=-1)
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+    p1 = x0h @ H.T
+    p0 = x1h @ Hinv.T
+    p1 = p1[:, :2] / jnp.where(jnp.abs(p1[:, 2:]) < 1e-12, 1e-12, p1[:, 2:])
+    p0 = p0[:, :2] / jnp.where(jnp.abs(p0[:, 2:]) < 1e-12, 1e-12, p0[:, 2:])
+    c1 = jnp.sum((x1 - p1) ** 2, axis=-1) / sigma2
+    c0 = jnp.sum((x0 - p0) ** 2, axis=-1) / sigma2
+    in1 = c1 <= TH_H
+    in0 = c0 <= TH_H
+    s = jnp.where(in1, TH_H - c1, 0.0) + jnp.where(in0, TH_H - c0, 0.0)
+    inl = in0 & in1 & valid
+    return jnp.sum(jnp.where(valid, s, 0.0)), inl
+
+
+def triangulate_dlt(P0, P1, x0, x1):
+    """Batched DLT triangulation (GeometricTools::Triangulate,
+    /root/reference/src/GeometricTools.cc:49-73).  P: (3,4), x: (N,2)."""
+    a0 = x0[:, 0:1] * P0[2] - P0[0]
+    a1 = x0[:, 1:2] * P0[2] - P0[1]
+    a2 = x1[:, 0:1] * P1[2] - P1[0]
+    a3 = x1[:, 1:2] * P1[2] - P1[1]
+    A = jnp.stack([a0, a1, a2, a3], axis=1)  # (N,4,4)
+    _, _, vt = jnp.linalg.svd(A)
+    X = vt[..., -1, :]
+    w = X[..., 3:]
+    return X[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+
+
+def _check_rt(R, t, x0, x1, valid, sigma2, th2=4.0):
+    """Score a motion hypothesis by triangulating all matches
+    (CheckRT, TwoViewReconstruction.cc:443-545).  Normalized-plane inputs.
+
+    Returns (n_good, good_mask, parallax_deg, X)."""
+    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P1 = jnp.concatenate([R, t[:, None]], axis=1)
+    X = triangulate_dlt(P0, P1, x0, x1)
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+    # parallax between the two rays
+    o1 = -R.T @ t
+    n0 = X
+    n1 = X - o1
+    cosp = jnp.sum(n0 * n1, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(n0, axis=-1) * jnp.linalg.norm(n1, axis=-1), 1e-12
+    )
+    z0 = X[:, 2]
+    Xc1 = X @ R.T + t
+    z1 = Xc1[:, 2]
+    # reprojection in normalized plane, scaled to pixels by caller's sigma2
+    e0 = jnp.sum((X[:, :2] / jnp.maximum(z0[:, None], 1e-9) - x0) ** 2, axis=-1)
+    e1 = jnp.sum((Xc1[:, :2] / jnp.maximum(z1[:, None], 1e-9) - x1) ** 2, axis=-1)
+    good = (
+        valid
+        & finite
+        & (z0 > 0)
+        & (z1 > 0)
+        & (cosp < 0.99998)
+        & (e0 < th2 * sigma2)
+        & (e1 < th2 * sigma2)
+    )
+    # parallax of the 50th-best good point (ref takes idx 50 of sorted)
+    cosp_good = jnp.where(good, cosp, 1.0)
+    kth = jnp.sort(cosp_good)[jnp.minimum(50, cosp_good.shape[0] - 1)]
+    parallax = jnp.degrees(jnp.arccos(jnp.clip(kth, -1.0, 1.0)))
+    return jnp.sum(good.astype(jnp.int32)), good, parallax, X
+
+
+def _motions_from_f(F):
+    """E from F (normalized coords: E = F), 4 motions (DecomposeE, :637-668)."""
+    u, s, vt = jnp.linalg.svd(F)
+    # enforce E singular values (1,1,0)
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = u @ W @ vt
+    R2 = u @ W.T @ vt
+    R1 = R1 * jnp.sign(jnp.linalg.det(R1))
+    R2 = R2 * jnp.sign(jnp.linalg.det(R2))
+    t = u[:, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    return jnp.stack([R1, R1, R2, R2]), jnp.stack([t, -t, t, -t])
+
+
+def _motions_from_h(H):
+    """Faugeras SVD decomposition of a homography into 8 motion hypotheses
+    (ReconstructH, TwoViewReconstruction.cc:668-830)."""
+    U, w, Vt = jnp.linalg.svd(H)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = w[0], w[1], w[2]
+    # x1, x3 terms
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, 1e-12), 0.0))
+    x1s = jnp.array([1.0, 1.0, -1.0, -1.0]) * aux1
+    x3s = jnp.array([1.0, -1.0, 1.0, -1.0]) * aux3
+
+    Rs = []
+    ts = []
+    # case d' = d2 (positive)
+    aux_st = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    ct = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    st_signs = jnp.array([1.0, -1.0, -1.0, 1.0])
+    for i in range(4):
+        st = st_signs[i] * aux_st
+        Rp = jnp.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+        )
+        Rp = Rp.at[0, 0].set(ct).at[0, 2].set(-st).at[2, 0].set(st).at[2, 2].set(ct)
+        R = s * U @ Rp @ Vt
+        tp = jnp.array([x1s[i], 0.0, -x3s[i]]) * (d1 - d3)
+        t = U @ tp
+        Rs.append(R)
+        ts.append(t / jnp.maximum(jnp.linalg.norm(t), 1e-12))
+    # case d' = -d2
+    aux_sp = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    cp = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    sp_signs = jnp.array([1.0, -1.0, -1.0, 1.0])
+    for i in range(4):
+        sp = sp_signs[i] * aux_sp
+        Rp = jnp.array(
+            [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]]
+        )
+        Rp = Rp.at[0, 0].set(cp).at[0, 2].set(sp).at[2, 0].set(sp).at[2, 2].set(-cp)
+        R = s * U @ Rp @ Vt
+        tp = jnp.array([x1s[i], 0.0, x3s[i]]) * (d1 + d3)
+        t = U @ tp
+        Rs.append(R)
+        ts.append(t / jnp.maximum(jnp.linalg.norm(t), 1e-12))
+    return jnp.stack(Rs), jnp.stack(ts)
+
+
+class TwoViewResult(NamedTuple):
+    success: jnp.ndarray  # () bool
+    R: jnp.ndarray  # (3,3) T_c1_c0 rotation
+    t: jnp.ndarray  # (3,) unit-norm translation
+    X: jnp.ndarray  # (N,3) triangulated points in cam0
+    good: jnp.ndarray  # (N,) triangulation validity
+    used_h: jnp.ndarray  # () bool — which model was selected
+
+
+@partial(jax.jit, static_argnames=("n_iters", "min_triangulated"))
+def reconstruct(
+    cam: cam_models.Camera,
+    uv0: jnp.ndarray,
+    uv1: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jnp.ndarray,
+    n_iters: int = 200,
+    min_triangulated: int = 50,
+    min_parallax_deg: float = 1.0,
+) -> TwoViewResult:
+    """Full two-view bootstrap from matched pixel keypoints (N fixed capacity).
+
+    Mirrors TwoViewReconstruction::Reconstruct (:44-130): H & F hypotheses,
+    RH selection, motion disambiguation with 90%-dominance + parallax +
+    min-triangulated gates.
+    """
+    n = uv0.shape[0]
+    # unproject to the normalized plane; sigma scaled to normalized units
+    x0 = cam_models.unproject(cam, uv0)[:, :2]
+    x1 = cam_models.unproject(cam, uv1)[:, :2]
+    f_mean = (cam.params[0] + cam.params[1]) * 0.5
+    sigma2 = (SIGMA / f_mean) ** 2
+
+    # --- batched hypothesis sampling (valid-biased: sample among valid idx)
+    # build a sampling pool: indices of valid matches, padded by resampling
+    pvals = valid.astype(jnp.float32)
+    pvals = pvals / jnp.maximum(jnp.sum(pvals), 1.0)
+    samples = jax.random.choice(key, n, shape=(n_iters, 8), p=pvals)  # (I,8)
+
+    def fit_one(idx):
+        s0n, T0 = _normalize(x0, valid)
+        s1n, T1 = _normalize(x1, valid)
+        a0 = s0n[idx]
+        a1 = s1n[idx]
+        Fn = _fit_f8(a0, a1)
+        F = T1.T @ Fn @ T0
+        Hn = _fit_h8(a0, a1)
+        H = jnp.linalg.inv(T1) @ Hn @ T0
+        return F, H
+
+    Fs, Hs = jax.vmap(fit_one)(samples)
+    score_f, _ = jax.vmap(lambda F: _score_f(F, x0, x1, valid, sigma2))(Fs)
+    score_h, _ = jax.vmap(lambda H: _score_h(H, x0, x1, valid, sigma2))(Hs)
+    best_f = Fs[jnp.argmax(score_f)]
+    best_h = Hs[jnp.argmax(score_h)]
+    # refit on the inliers of the best hypothesis (gold-standard polish the
+    # reference skips; costs one masked SVD, buys ~5x tighter motion)
+    _, inl_f = _score_f(best_f, x0, x1, valid, sigma2)
+    _, inl_h = _score_h(best_h, x0, x1, valid, sigma2)
+    best_f = _refit_f(x0, x1, inl_f, valid)
+    best_h = _refit_h(x0, x1, inl_h, valid)
+    score_fr, _ = _score_f(best_f, x0, x1, valid, sigma2)
+    score_hr, _ = _score_h(best_h, x0, x1, valid, sigma2)
+    SF = jnp.maximum(jnp.max(score_f), score_fr)
+    SH = jnp.maximum(jnp.max(score_h), score_hr)
+    best_f = jnp.where(score_fr >= jnp.max(score_f), best_f, Fs[jnp.argmax(score_f)])
+    best_h = jnp.where(score_hr >= jnp.max(score_h), best_h, Hs[jnp.argmax(score_h)])
+    rh = SH / jnp.maximum(SH + SF, 1e-12)
+    # 0.40 (classic ORB-SLAM selection) rather than 0.50: for a perfectly
+    # planar scene F also fits exactly, so RH ~= 0.5 and the threshold must
+    # bias toward H to catch the degenerate-for-F case.
+    use_h = rh > 0.40
+
+    # --- motion hypotheses from both models; evaluate all 12, select by model
+    Rf, tf = _motions_from_f(best_f)
+    Rh, th_ = _motions_from_h(best_h)
+    Rall = jnp.concatenate([Rf, Rh])  # (12,3,3)
+    tall = jnp.concatenate([tf, th_])
+    is_h_motion = jnp.arange(12) >= 4
+
+    ngood, goods, parallax, Xs = jax.vmap(
+        lambda R, t: _check_rt(R, t, x0, x1, valid, sigma2)
+    )(Rall, tall)
+    model_ok = jnp.where(use_h, is_h_motion, ~is_h_motion)
+    ngood_m = jnp.where(model_ok, ngood, -1)
+    best = jnp.argmax(ngood_m)
+    nbest = ngood_m[best]
+    # dominance: second best (within model) must be < 0.75 * best (ref uses
+    # 0.7/0.9 variants for F/H; 0.75 splits the difference)
+    ngood_wo = ngood_m.at[best].set(-1)
+    nsecond = jnp.max(ngood_wo)
+    nmin = jnp.maximum(
+        jnp.asarray(min_triangulated, jnp.int32),
+        (0.9 * jnp.sum(valid)).astype(jnp.int32) // 2,
+    )
+    success = (
+        (nbest >= nmin)
+        & (nsecond.astype(jnp.float32) < 0.75 * nbest.astype(jnp.float32))
+        & (parallax[best] > min_parallax_deg)
+    )
+    return TwoViewResult(
+        success=success,
+        R=Rall[best],
+        t=tall[best],
+        X=Xs[best],
+        good=goods[best],
+        used_h=use_h,
+    )
