@@ -1,0 +1,415 @@
+"""Local mapping: new-landmark triangulation, duplicate fusion, local BA,
+culling.
+
+TPU-native replacement for the reference ``LocalMapping`` thread
+(``/root/reference/src/LocalMapping.cc``): the ``Run`` loop stages
+(ProcessNewKeyFrame -> MapPointCulling -> CreateNewMapPoints ->
+SearchInNeighbors -> LocalBundleAdjustment -> KeyFrameCulling, :82-326)
+become one synchronous (or host-thread) pass of batched device programs per
+keyframe.  Queue/mutex machinery disappears; the map is versioned numpy SoA.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_fast_tpu.cameras import models as cam_models
+from orb_slam3_fast_tpu.map.worldmap import WorldMap
+from orb_slam3_fast_tpu.ops import matching as mat
+from orb_slam3_fast_tpu.ops import twoview
+from orb_slam3_fast_tpu.ops.extractor import Keypoints
+from orb_slam3_fast_tpu.optim import ba
+
+
+def _kf_keypoints(world: WorldMap, k: int) -> Keypoints:
+    return Keypoints(
+        xy=jnp.asarray(world.kf_xy[k]),
+        level=jnp.asarray(world.kf_level[k]),
+        angle=jnp.asarray(world.kf_angle[k]),
+        response=jnp.zeros(world.kp_cap),
+        desc=jnp.asarray(world.kf_desc[k]),
+        valid=jnp.asarray(world.kf_kp_valid[k]),
+    )
+
+
+def compute_f12(world: WorldMap, cam, k1: int, k2: int) -> np.ndarray:
+    """Fundamental matrix between two keyframes (GeometricTools::ComputeF12,
+    /root/reference/src/GeometricTools.cc:28-47).  Pinhole-K based; for
+    fisheye the caller should match on unprojected bearings instead."""
+    R1, t1 = world.kf_R[k1], world.kf_t[k1]
+    R2, t2 = world.kf_R[k2], world.kf_t[k2]
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    tx = np.array(
+        [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]],
+        dtype=np.float32,
+    )
+    K = np.asarray(cam.K())
+    Kinv = np.linalg.inv(K)
+    # x2^T F21 x1 = 0 with F21 mapping image-1 points to lines in image 2:
+    return Kinv.T @ tx @ R12 @ Kinv
+
+
+_search_tri = jax.jit(mat.search_for_triangulation)
+_search_proj = jax.jit(mat.search_by_projection)
+_triangulate = jax.jit(twoview.triangulate_dlt)
+
+
+def _bucket(n: int, base: int = 256) -> int:
+    """Round up to base * 2^k so jitted shapes stabilize after warmup."""
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class MapperConfig:
+    n_neighbors_tri: int = 10  # CreateNewMapPoints nn (LocalMapping.cc:423)
+    ba_window: int = 12  # covisible KFs in local BA
+    ba_fixed: int = 8  # fixed boundary KFs
+    ba_lm_cap: int = 4096
+    ba_obs_cap: int = 16384
+    min_parallax_cos: float = 0.99996
+    cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:388)
+    recent_window: int = 3
+
+
+class Mapper:
+    def __init__(self, cam, bf: float = 0.0, cfg: MapperConfig = MapperConfig(),
+                 sigma2: np.ndarray | None = None):
+        self.cam = cam
+        self.bf = float(bf)
+        self.cfg = cfg
+        self.sigma2 = sigma2 if sigma2 is not None else (1.2 ** (2 * np.arange(8))).astype(np.float32)
+        self.recent_lm: list[np.ndarray] = []  # per recent KF: created lm ids
+
+    # ------------------------------------------------------------------
+    def initial_ba(self, world: WorldMap, kf_ids):
+        """Full BA of the freshly created 2-view map
+        (CreateInitialMapMonocular -> GlobalBundleAdjustemnt(20),
+        Tracking.cc:2433-2533)."""
+        self._run_ba(world, np.asarray(kf_ids), fixed=np.asarray([kf_ids[0]]), iters=(8, 12))
+
+    # ------------------------------------------------------------------
+    def process_new_keyframe(self, world: WorldMap, k: int):
+        """One LocalMapping::Run iteration for keyframe k."""
+        self._cull_landmarks(world, k)
+        created = self._triangulate_new(world, k)
+        self.recent_lm.append(created)
+        if len(self.recent_lm) > self.cfg.recent_window:
+            self.recent_lm.pop(0)
+        self._fuse_neighbors(world, k)
+        self._local_ba(world, k)
+        touched = np.unique(world.kf_obs[k][world.kf_obs[k] >= 0])
+        world.update_landmark_stats(touched)
+        self._refresh_descriptors(world, k)
+
+    def _refresh_descriptors(self, world: WorldMap, k: int, max_obs: int = 8):
+        """MapPoint::ComputeDistinctiveDescriptors (MapPoint.cc:372-441): the
+        representative descriptor is the observation with minimum median
+        Hamming distance to all other observations — robust to the occasional
+        wrong association (a naive "latest observation" refresh lets outlier
+        matches poison landmarks and collapses tracking).
+
+        Batched: gather up to ``max_obs`` observation descriptors per touched
+        landmark and compute all pairwise distances with one XOR-popcount."""
+        slots = np.nonzero(world.kf_obs[k] >= 0)[0]
+        lm_ids = np.unique(world.kf_obs[k, slots])
+        if len(lm_ids) == 0:
+            return
+        K = world.n_kf
+        descs = np.zeros((len(lm_ids), max_obs, 256), dtype=np.int8)
+        counts = np.zeros(len(lm_ids), dtype=np.int32)
+        obs = world.kf_obs[:K]
+        for i, lid in enumerate(lm_ids):
+            kfs, ss = np.nonzero(obs == lid)
+            n = min(len(kfs), max_obs)
+            if n == 0:
+                continue
+            # prefer the most recent observations
+            descs[i, :n] = world.kf_desc[kfs[-n:], ss[-n:]]
+            counts[i] = n
+        have = counts > 0
+        d = descs[have].astype(np.int16)
+        # pairwise Hamming per landmark: (n, max_obs, max_obs)
+        ham = (d[:, :, None, :] != d[:, None, :, :]).sum(-1)
+        # mask out empty slots with large distance
+        arange = np.arange(max_obs)
+        slot_ok = arange[None, :] < counts[have][:, None]
+        big = 10_000
+        ham = np.where(slot_ok[:, :, None] & slot_ok[:, None, :], ham, big)
+        med = np.median(ham, axis=2)
+        med = np.where(slot_ok, med, big)
+        best = med.argmin(1)
+        world.lm_desc[lm_ids[have]] = descs[have][np.arange(have.sum()), best]
+
+    # ------------------------------------------------------------------
+    def _triangulate_new(self, world: WorldMap, k: int) -> np.ndarray:
+        """CreateNewMapPoints (LocalMapping.cc:414-729)."""
+        neighbors = world.best_covisible(k, self.cfg.n_neighbors_tri, min_shared=5)
+        kp_k = _kf_keypoints(world, k)
+        created = []
+        cam = self.cam
+        for n in neighbors:
+            # baseline check: skip neighbors with tiny baseline vs scene depth
+            baseline = np.linalg.norm(world.camera_center(k) - world.camera_center(n))
+            if self.bf > 0:
+                if baseline < self.bf / float(cam.params[0]):
+                    continue
+            else:
+                lm = world.kf_obs[n]
+                lm = lm[lm >= 0]
+                if len(lm) == 0:
+                    continue
+                depths = (world.lm_pos[lm] @ world.kf_R[n][2]) + world.kf_t[n][2]
+                med = np.median(depths[depths > 0]) if (depths > 0).any() else 1.0
+                if baseline / max(med, 1e-6) < 0.01:  # ratioBaselineDepth (LocalMapping.cc:489)
+                    continue
+            kp_n = _kf_keypoints(world, n)
+            # F such that x_n^T F x_k = 0 (points in k -> epipolar lines in n)
+            F_kn = compute_f12(world, cam, n, k)
+            free_k = jnp.asarray((world.kf_obs[k] < 0) & world.kf_kp_valid[k])
+            free_n = jnp.asarray((world.kf_obs[n] < 0) & world.kf_kp_valid[n])
+            idx, accept = _search_tri(
+                kp_k, kp_n, free_k, free_n, jnp.asarray(F_kn), jnp.asarray(self.sigma2)
+            )
+            acc = np.asarray(accept)
+            if acc.sum() == 0:
+                continue
+            slots_k = np.nonzero(acc)[0]
+            slots_n = np.asarray(idx)[slots_k]
+            # triangulate in normalized coords (padded to a stable bucket so
+            # the jitted SVD compiles once per bucket, not per call)
+            nb = _bucket(len(slots_k))
+            sk = np.zeros(nb, dtype=np.int64)
+            sk[: len(slots_k)] = slots_k
+            sn = np.zeros(nb, dtype=np.int64)
+            sn[: len(slots_n)] = slots_n
+            x_k = np.asarray(cam_models.unproject(cam, jnp.asarray(world.kf_xy[k, sk])))[:, :2]
+            x_n = np.asarray(cam_models.unproject(cam, jnp.asarray(world.kf_xy[n, sn])))[:, :2]
+            P_k = np.concatenate([world.kf_R[k], world.kf_t[k][:, None]], 1)
+            P_n = np.concatenate([world.kf_R[n], world.kf_t[n][:, None]], 1)
+            X = np.asarray(
+                _triangulate(
+                    jnp.asarray(P_k), jnp.asarray(P_n), jnp.asarray(x_k), jnp.asarray(x_n)
+                )
+            )[: len(slots_k)]
+            # gates (parallax, depth, reprojection, scale consistency)
+            ok = self._triangulation_gates(world, k, n, slots_k, slots_n, X)
+            if ok.sum() == 0:
+                continue
+            slots_k, slots_n, X = slots_k[ok], slots_n[ok], X[ok]
+            ids = world.add_landmarks(
+                X.astype(np.float32),
+                world.kf_desc[k, slots_k],
+                k,
+                slots_k,
+                world.kf_level[k, slots_k],
+            )
+            world.add_observations(n, slots_n, ids)
+            created.append(ids)
+        return np.concatenate(created) if created else np.zeros(0, dtype=np.int32)
+
+    def _triangulation_gates(self, world, k, n, slots_k, slots_n, X):
+        ok = np.all(np.isfinite(X), axis=1)
+        for kf, slots in ((k, slots_k), (n, slots_n)):
+            xc = X @ world.kf_R[kf].T + world.kf_t[kf]
+            z = xc[:, 2]
+            ok &= z > 0.02
+            uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xc)))
+            err2 = ((uv - world.kf_xy[kf, slots]) ** 2).sum(1)
+            ok &= err2 <= 5.991 * self.sigma2[world.kf_level[kf, slots]]
+        # parallax
+        d_k = X - world.camera_center(k)[None]
+        d_n = X - world.camera_center(n)[None]
+        cosp = (d_k * d_n).sum(1) / np.maximum(
+            np.linalg.norm(d_k, axis=1) * np.linalg.norm(d_n, axis=1), 1e-9
+        )
+        ok &= cosp < self.cfg.min_parallax_cos
+        # scale consistency (LocalMapping.cc:690-712)
+        dist_k = np.linalg.norm(d_k, axis=1)
+        dist_n = np.linalg.norm(d_n, axis=1)
+        ratio_dist = dist_k / np.maximum(dist_n, 1e-9)
+        sf = 1.2
+        ratio_octave = sf ** (
+            world.kf_level[k, slots_k].astype(np.float32)
+            - world.kf_level[n, slots_n].astype(np.float32)
+        )
+        ratio_factor = 1.5 * sf
+        ok &= (ratio_dist < ratio_octave * ratio_factor) & (
+            ratio_dist * ratio_factor > ratio_octave
+        )
+        return ok
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, world: WorldMap, k: int):
+        """SearchInNeighbors (LocalMapping.cc:730-906): project k's landmarks
+        into neighbors and vice versa; add missing observations (full
+        duplicate merge by Replace() deferred to the loop-closing fuse)."""
+        neighbors = world.best_covisible(k, 5, min_shared=5)
+        scales8 = jnp.asarray((1.2 ** np.arange(8)).astype(np.float32))
+        for a, b in [(k, n) for n in neighbors] + [(n, k) for n in neighbors]:
+            lm = world.kf_obs[a]
+            lm_ids_raw = lm[lm >= 0]
+            if len(lm_ids_raw) == 0:
+                continue
+            # pad to the keypoint capacity (every KF has <= kp_cap obs)
+            nb = world.kp_cap
+            lm_ids = np.zeros(nb, dtype=np.int64)
+            lm_ids[: len(lm_ids_raw)] = lm_ids_raw
+            lm_mask = np.zeros(nb, dtype=bool)
+            lm_mask[: len(lm_ids_raw)] = True
+            R, t = world.kf_R[b], world.kf_t[b]
+            xc = world.lm_pos[lm_ids] @ R.T + t
+            infront = xc[:, 2] > 0.05
+            uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xc)))
+            kp_b = _kf_keypoints(world, b)
+            dist = np.linalg.norm(world.lm_pos[lm_ids] - world.camera_center(b), axis=1)
+            ratio = np.maximum(world.lm_dmax[lm_ids] / np.maximum(dist, 1e-9), 1.0)
+            pred_level = np.clip(np.ceil(np.log(ratio) / np.log(1.2)).astype(np.int32), 0, 7)
+            idx, accept = _search_proj(
+                kp_b,
+                jnp.asarray(uv),
+                jnp.asarray(infront & world.lm_valid[lm_ids] & lm_mask),
+                jnp.asarray(world.lm_desc[lm_ids]),
+                jnp.asarray(pred_level),
+                scales8,
+                radius=3.0,
+                th_dist=50,
+                ratio=1.0,
+            )
+            acc = np.asarray(accept)
+            if not acc.any():
+                continue
+            tgt_slots = np.asarray(idx)[acc]
+            src_lm = lm_ids[acc]
+            existing = world.kf_obs[b, tgt_slots]
+            # fresh association
+            fresh = existing < 0
+            world.add_observations(b, tgt_slots[fresh], src_lm[fresh])
+            # duplicate: keep the landmark with more observations
+            dup = (~fresh) & (existing != src_lm)
+            for s, l_new, l_old in zip(tgt_slots[dup], src_lm[dup], existing[dup]):
+                keep, drop = (
+                    (l_new, l_old)
+                    if world.lm_n_obs[l_new] >= world.lm_n_obs[l_old]
+                    else (l_old, l_new)
+                )
+                obs = world.kf_obs[: world.n_kf]
+                obs[obs == drop] = keep
+                world.lm_valid[drop] = False
+                world.lm_n_obs[keep] = (obs == keep).sum()
+
+    # ------------------------------------------------------------------
+    def _cull_landmarks(self, world: WorldMap, k: int):
+        """MapPointCulling (LocalMapping.cc:380-414): recently created points
+        must keep found/visible >= 0.25 and gather >= 3 observations."""
+        if not self.recent_lm:
+            return
+        for age, ids in enumerate(reversed(self.recent_lm)):
+            if len(ids) == 0:
+                continue
+            alive = ids[world.lm_valid[ids]]
+            ratio = world.lm_found[alive] / np.maximum(world.lm_visible[alive], 1)
+            bad = ratio < self.cfg.cull_found_ratio
+            if age >= 2:
+                bad |= world.lm_n_obs[alive] < 3
+            world.remove_landmarks(alive[bad])
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, world: WorldMap, k: int):
+        """LocalBundleAdjustment window (Optimizer.cc:1109-1516): covisible
+        KFs free, their neighbors fixed, all their landmarks."""
+        window = [k] + list(world.best_covisible(k, self.cfg.ba_window - 1, min_shared=5))
+        # fixed boundary: covisibles of the window not already in it + gauge
+        fixed = []
+        for w in window:
+            for c in world.best_covisible(w, 5, min_shared=5):
+                if c not in window and c not in fixed:
+                    fixed.append(c)
+                if len(fixed) >= self.cfg.ba_fixed:
+                    break
+            if len(fixed) >= self.cfg.ba_fixed:
+                break
+        if 0 not in window and 0 not in fixed and world.kf_valid[0]:
+            fixed.append(0)
+        if not fixed:
+            fixed = [window[0]]  # gauge: fix oldest in window
+        self._run_ba(world, np.asarray(window + fixed), fixed=np.asarray(fixed), iters=(5, 10))
+
+    def _run_ba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray, iters=(5, 10)):
+        cfg = self.cfg
+        lm_ids = world.local_landmarks(kf_ids)
+        if len(lm_ids) == 0:
+            return
+        if len(lm_ids) > cfg.ba_lm_cap:
+            lm_ids = lm_ids[: cfg.ba_lm_cap]
+        obs_kf, obs_lm, slots = world.observations_of(lm_ids, kf_ids)
+        if len(obs_kf) == 0:
+            return
+        if len(obs_kf) > cfg.ba_obs_cap:
+            sel = np.random.default_rng(0).choice(len(obs_kf), cfg.ba_obs_cap, replace=False)
+            obs_kf, obs_lm, slots = obs_kf[sel], obs_lm[sel], slots[sel]
+
+        # pad to stable shapes (limit recompiles)
+        K = int(2 ** np.ceil(np.log2(max(len(kf_ids), 2))))
+        M = int(2 ** np.ceil(np.log2(max(len(lm_ids), 256))))
+        O = int(2 ** np.ceil(np.log2(max(len(obs_kf), 1024))))
+        kf_pad = np.zeros(K, dtype=np.int64)
+        kf_pad[: len(kf_ids)] = kf_ids
+        lm_pad = np.zeros(M, dtype=np.int64)
+        lm_pad[: len(lm_ids)] = lm_ids
+        pose_fixed = np.ones(K, dtype=bool)
+        pose_fixed[: len(kf_ids)] = np.isin(kf_ids, fixed)
+        lm_valid = np.zeros(M, dtype=bool)
+        lm_valid[: len(lm_ids)] = world.lm_valid[lm_ids]
+
+        o_kf = np.zeros(O, dtype=np.int32)
+        o_lm = np.zeros(O, dtype=np.int32)
+        o_uv = np.full((O, 3), -1.0, dtype=np.float32)
+        o_is2 = np.ones(O, dtype=np.float32)
+        o_stereo = np.zeros(O, dtype=bool)
+        o_valid = np.zeros(O, dtype=bool)
+        n_o = len(obs_kf)
+        o_kf[:n_o] = obs_kf
+        o_lm[:n_o] = obs_lm
+        kf_sel = kf_ids[obs_kf]
+        o_uv[:n_o, :2] = world.kf_xy[kf_sel, slots]
+        ru = world.kf_right_u[kf_sel, slots]
+        use_stereo = (ru > 0) & (self.bf > 0)
+        o_uv[:n_o, 2] = np.where(use_stereo, ru, -1.0)
+        o_stereo[:n_o] = use_stereo
+        o_is2[:n_o] = 1.0 / self.sigma2[world.kf_level[kf_sel, slots]]
+        o_valid[:n_o] = True
+
+        prob = ba.BAProblem(
+            R=jnp.asarray(world.kf_R[kf_pad]),
+            t=jnp.asarray(world.kf_t[kf_pad]),
+            pose_fixed=jnp.asarray(pose_fixed),
+            xw=jnp.asarray(world.lm_pos[lm_pad]),
+            lm_valid=jnp.asarray(lm_valid),
+            obs_kf=jnp.asarray(o_kf),
+            obs_lm=jnp.asarray(o_lm),
+            obs_uv=jnp.asarray(o_uv),
+            obs_inv_sigma2=jnp.asarray(o_is2),
+            obs_is_stereo=jnp.asarray(o_stereo),
+            obs_valid=jnp.asarray(o_valid),
+        )
+        R, t, xw, inlier = ba.bundle_adjust(
+            self.cam, jnp.float32(self.bf), prob, iters1=iters[0], iters2=iters[1]
+        )
+        # write back free poses + landmarks
+        free = ~pose_fixed[: len(kf_ids)]
+        world.kf_R[kf_ids[free]] = np.asarray(R)[: len(kf_ids)][free]
+        world.kf_t[kf_ids[free]] = np.asarray(t)[: len(kf_ids)][free]
+        world.lm_pos[lm_ids] = np.asarray(xw)[: len(lm_ids)]
+        # drop outlier observations (Optimizer.cc:1398-1420 erase loop)
+        inl = np.asarray(inlier)[:n_o]
+        bad = ~inl
+        world.kf_obs[kf_ids[obs_kf[bad]], slots[bad]] = -1
+        lm_all = lm_ids[obs_lm]
+        np.subtract.at(world.lm_n_obs, lm_all[bad], 1)

@@ -1,0 +1,535 @@
+"""Tracking front-end: the per-frame state machine.
+
+TPU-native replacement for the reference ``Tracking`` thread
+(``/root/reference/src/Tracking.cc``): the data-dependent state machine
+(states NO_IMAGES_YET/NOT_INITIALIZED/OK/RECENTLY_LOST/LOST, Tracking.h:122)
+runs on the host, while every heavy stage — extraction, matching, frustum
+culling, pose optimization — is a jitted fixed-shape device program
+(SURVEY.md §7: "tracking step = one jitted function"; host orchestration for
+the branches RANSAC/XLA can't express).
+
+Pipeline per frame (mirrors Tracking::Track, Tracking.cc:1798-2292):
+  extract -> predict pose (const-velocity) -> motion-model match + pose opt
+  (TrackWithMotionModel, :2783) with reference-keyframe fallback
+  (TrackReferenceKeyFrame, :2663) -> local-map track (TrackLocalMap, :2879)
+  -> keyframe decision (NeedNewKeyFrame, :2971) -> local mapping step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_fast_tpu.cameras import models as cam_models
+from orb_slam3_fast_tpu.map.worldmap import WorldMap
+from orb_slam3_fast_tpu.ops import extractor as ext
+from orb_slam3_fast_tpu.ops import matching as mat
+from orb_slam3_fast_tpu.ops import twoview
+from orb_slam3_fast_tpu.optim import pose_opt
+from orb_slam3_fast_tpu.utils import lie
+
+# tracking states (Tracking.h:122-130)
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+RECENTLY_LOST = "RECENTLY_LOST"
+LOST = "LOST"
+
+
+class TrackerConfig(NamedTuple):
+    extractor: ext.ExtractorConfig = ext.ExtractorConfig(n_features=1024)
+    lm_cap: int = 4096  # local-map landmark slots per tracking call
+    min_init_matches: int = 100  # Tracking.cc mono init threshold
+    min_motion_inliers: int = 20
+    min_map_inliers: int = 30  # TrackLocalMap accept (Tracking.cc:2944)
+    kf_tracked_ratio: float = 0.9  # NeedNewKeyFrame thRefRatio
+    max_frames_between_kf: int = 10
+    motion_radius: float = 15.0
+    map_radius: float = 3.0
+    max_recently_lost: int = 20  # frames before LOST
+    th_depth: float = 40.0  # stereo close-point threshold (x baseline)
+    max_stereo_lm_per_kf: int = 350
+
+
+@dataclass
+class FrameState:
+    kp: object  # extractor.Keypoints (device)
+    ts: float
+    R: np.ndarray  # T_cw
+    t: np.ndarray
+    obs_lm: np.ndarray  # (N,) landmark id per kp slot (-1 none)
+    depth: Optional[np.ndarray] = None
+    right_u: Optional[np.ndarray] = None
+
+
+# ---------------------------------------------------------------------------
+# jitted device helpers
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _visible_landmarks(cam, R, t, lm_pos, lm_mask, lm_normal, lm_dmin, lm_dmax, wh):
+    """Frustum + scale-band + view-angle check (Frame::isInFrustum,
+    /root/reference/src/Frame.cc:632-720) for a padded landmark block.
+    Returns (uv, pred_level, visible)."""
+    xc = jnp.einsum("ij,mj->mi", R, lm_pos) + t
+    uv = cam_models.project(cam, xc)
+    z_ok = xc[:, 2] > 0.05
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < wh[0]) & (uv[:, 1] >= 0) & (uv[:, 1] < wh[1])
+    )
+    cam_center = -R.T @ t
+    po = lm_pos - cam_center[None, :]
+    dist = jnp.linalg.norm(po, axis=-1)
+    dist_ok = (dist >= lm_dmin * 0.8) & (dist <= lm_dmax * 1.2)
+    view_cos = jnp.sum(po * lm_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    angle_ok = view_cos > 0.5  # Frame.cc viewingCosLimit
+    # PredictScale (MapPoint.cc:543-558)
+    ratio = jnp.maximum(lm_dmax / jnp.maximum(dist, 1e-9), 1.0)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, 7
+    )
+    return uv, pred_level, lm_mask & z_ok & in_img & dist_ok & angle_ok
+
+
+_search_by_projection = jax.jit(mat.search_by_projection, static_argnames=())
+_search_frame_to_frame = jax.jit(mat.search_frame_to_frame)
+_search_for_initialization = jax.jit(mat.search_for_initialization)
+_stereo_match = jax.jit(mat.stereo_match, static_argnames=("bf", "min_z"))
+_stereo_refine = jax.jit(mat.stereo_subpixel_refine)
+
+
+class Tracker:
+    """Host orchestrator for one camera rig (mono or rectified stereo)."""
+
+    def __init__(
+        self,
+        cam: cam_models.Camera,
+        cfg: TrackerConfig = TrackerConfig(),
+        bf: float = 0.0,
+        image_wh: tuple = (640, 480),
+        world: Optional[WorldMap] = None,
+        mapper=None,
+    ):
+        self.cam = cam
+        self.cfg = cfg
+        self.bf = float(bf)
+        self.wh = jnp.asarray(image_wh, dtype=jnp.float32)
+        self.kp_cap = ext.total_capacity(cfg.extractor)
+        self.world = world or WorldMap(kp_cap=self.kp_cap)
+        self.mapper = mapper
+        self.state = NOT_INITIALIZED
+        self.scales = jnp.asarray(
+            cfg.extractor.scale_factor ** np.arange(cfg.extractor.n_levels),
+            dtype=jnp.float32,
+        )
+        self.sigma2 = ext.level_sigma2(cfg.extractor)
+        self.last: Optional[FrameState] = None
+        self.velocity = lie.SE3.identity()  # T_cur_last
+        self.init_ref: Optional[FrameState] = None
+        self.ref_kf: int = -1
+        self.frames_since_kf = 0
+        self.lost_count = 0
+        self.trajectory: list = []  # (ts, R, t) per frame
+        self.stats = {"matches": [], "inliers": []}
+
+    # ------------------------------------------------------------------
+    def process_mono(self, img: np.ndarray, ts: float):
+        kp = ext.extract(jnp.asarray(img, dtype=jnp.float32), self.cfg.extractor)
+        return self._track(kp, ts, depth=None, right_u=None)
+
+    def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float):
+        il = jnp.asarray(img_l, dtype=jnp.float32)
+        ir = jnp.asarray(img_r, dtype=jnp.float32)
+        kp_l = ext.extract(il, self.cfg.extractor)
+        kp_r = ext.extract(ir, self.cfg.extractor)
+        base = self.bf / float(self.cam.params[0])
+        sm = _stereo_match(
+            kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1)
+        )
+        # NOTE: SAD subpixel refinement (stereo_subpixel_refine) was measured
+        # to ADD ~0.2px pixel-locking bias here — both keypoint sets share
+        # the same detector quantization, so the raw Hamming disparity is
+        # already unbiased; keep it.
+        return self._track(
+            kp_l, ts, depth=np.asarray(sm.depth), right_u=np.asarray(sm.right_u)
+        )
+
+    def process_rgbd(self, img: np.ndarray, depth: np.ndarray, ts: float):
+        """RGB-D: depth sampled at keypoint locations (ComputeStereoFromRGBD,
+        Frame.cc:1086-1154)."""
+        kp = ext.extract(jnp.asarray(img, dtype=jnp.float32), self.cfg.extractor)
+        xy = np.asarray(kp.xy).astype(np.int32)
+        h, w = depth.shape
+        xs = np.clip(xy[:, 0], 0, w - 1)
+        ys = np.clip(xy[:, 1], 0, h - 1)
+        d = depth[ys, xs].astype(np.float32)
+        d = np.where(np.asarray(kp.valid) & (d > 0), d, -1.0)
+        ru = np.where(
+            d > 0, np.asarray(kp.xy)[:, 0] - self.bf / np.maximum(d, 1e-6), -1.0
+        )
+        return self._track(kp, ts, depth=d, right_u=ru)
+
+    # ------------------------------------------------------------------
+    def _track(self, kp, ts, depth, right_u):
+        if self.state == NOT_INITIALIZED:
+            ok = self._initialize(kp, ts, depth, right_u)
+            result = (self.state, self._cur_pose())
+        else:
+            ok = self._track_frame(kp, ts, depth, right_u)
+            result = (self.state, self._cur_pose())
+        if self.last is not None:
+            self.trajectory.append((ts, self.last.R.copy(), self.last.t.copy()))
+        return result
+
+    def _cur_pose(self):
+        if self.last is None:
+            return None
+        return self.last.R, self.last.t
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _initialize(self, kp, ts, depth, right_u) -> bool:
+        if depth is not None:
+            return self._initialize_depth(kp, ts, depth, right_u)
+        return self._initialize_mono(kp, ts)
+
+    def _initialize_depth(self, kp, ts, depth, right_u) -> bool:
+        """Stereo/RGB-D init (Tracking::StereoInitialization, Tracking.cc:2294):
+        first frame with >= 500 depth points becomes KF 0 at origin."""
+        good = np.asarray(kp.valid) & (depth > 0)
+        if good.sum() < 300:
+            return False
+        R0, t0 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        k0 = self.world.add_keyframe(kp, R0, t0, ts, depth=depth, right_u=right_u)
+        slots = np.nonzero(good)[0]
+        ray = np.asarray(cam_models.unproject(self.cam, kp.xy[slots]))
+        pos = ray * depth[slots][:, None]
+        ids = self.world.add_landmarks(
+            pos,
+            np.asarray(kp.desc)[slots],
+            k0,
+            slots,
+            np.asarray(kp.level)[slots],
+        )
+        obs_lm = np.full(self.kp_cap, -1, dtype=np.int32)
+        obs_lm[slots] = ids
+        self.last = FrameState(kp, ts, R0, t0, obs_lm, depth, right_u)
+        self.ref_kf = k0
+        self.state = OK
+        self.frames_since_kf = 0
+        return True
+
+    def _initialize_mono(self, kp, ts) -> bool:
+        """Monocular init (MonocularInitialization, Tracking.cc:2341-2431)."""
+        R0, t0 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        if self.init_ref is None:
+            self.init_ref = FrameState(kp, ts, R0, t0, np.full(self.kp_cap, -1, np.int32))
+            return False
+        ref = self.init_ref
+        idx, accept = _search_for_initialization(ref.kp, kp, 100.0)
+        n_matches = int(np.asarray(accept).sum())
+        if n_matches < self.cfg.min_init_matches:
+            self.init_ref = FrameState(kp, ts, R0, t0, np.full(self.kp_cap, -1, np.int32))
+            return False
+        res = twoview.reconstruct(
+            self.cam, ref.kp.xy, kp.xy[idx], accept, jax.random.PRNGKey(int(ts * 1e3) & 0x7FFFFFFF)
+        )
+        if not bool(res.success):
+            return False
+        good = np.asarray(res.good)
+        X = np.asarray(res.X)
+        # scale so median depth = 1 (CreateInitialMapMonocular, Tracking.cc:2498)
+        med = float(np.median(X[good, 2]))
+        if med <= 0:
+            return False
+        X = X / med
+        R1 = np.asarray(res.R)
+        t1 = np.asarray(res.t) / med
+        k0 = self.world.add_keyframe(ref.kp, R0, t0, ref.ts)
+        k1 = self.world.add_keyframe(kp, R1, t1, ts)
+        slots0 = np.nonzero(good)[0]
+        slots1 = np.asarray(idx)[slots0]
+        ids = self.world.add_landmarks(
+            X[slots0],
+            np.asarray(ref.kp.desc)[slots0],
+            k0,
+            slots0,
+            np.asarray(ref.kp.level)[slots0],
+        )
+        self.world.add_observations(k1, slots1, ids)
+        # polish with full BA on the 2-view map (the mapper owns BA)
+        if self.mapper is not None:
+            self.mapper.initial_ba(self.world, (k0, k1))
+            self.world.update_landmark_stats(ids)
+        obs_lm = np.full(self.kp_cap, -1, dtype=np.int32)
+        obs_lm[slots1] = ids
+        self.last = FrameState(kp, ts, self.world.kf_R[k1], self.world.kf_t[k1], obs_lm)
+        self.ref_kf = k1
+        self.velocity = lie.SE3.identity()
+        self.state = OK
+        self.frames_since_kf = 0
+        self.init_ref = None
+        return True
+
+    # ------------------------------------------------------------------
+    # per-frame tracking
+    # ------------------------------------------------------------------
+    def _track_frame(self, kp, ts, depth, right_u) -> bool:
+        last = self.last
+        T_last = lie.SE3(jnp.asarray(last.R), jnp.asarray(last.t))
+        T_pred = self.velocity.compose(T_last)
+
+        ok, T_est, obs_lm, n_inl = self._track_motion_model(kp, T_pred, last)
+        if not ok:
+            ok, T_est, obs_lm, n_inl = self._track_reference_kf(kp, T_last)
+
+        if ok:
+            ok2, T_est, obs_lm, n_inl = self._track_local_map(kp, T_est, obs_lm)
+            ok = ok and ok2
+
+        if not ok:
+            self.lost_count += 1
+            self.state = RECENTLY_LOST if self.lost_count < self.cfg.max_recently_lost else LOST
+            # keep predicted pose so RECENTLY_LOST frames still log a pose
+            self.last = FrameState(
+                kp, ts, np.asarray(T_pred.R), np.asarray(T_pred.t),
+                np.full(self.kp_cap, -1, np.int32), depth, right_u,
+            )
+            return False
+
+        self.lost_count = 0
+        self.state = OK
+        R_est = np.asarray(T_est.R)
+        t_est = np.asarray(T_est.t)
+        self.velocity = T_est.compose(T_last.inverse())
+        self.last = FrameState(kp, ts, R_est, t_est, obs_lm, depth, right_u)
+        self.frames_since_kf += 1
+        self.stats["inliers"].append(n_inl)
+
+        if self._need_new_keyframe(n_inl, depth):
+            self._create_keyframe()
+        return True
+
+    def _pose_opt_from_obs(self, kp, T0, obs_lm, depth=None):
+        """Build PoseObs from slot->landmark association and optimize."""
+        slots = np.nonzero(obs_lm >= 0)[0]
+        n = self.kp_cap
+        xw = np.zeros((n, 3), np.float32)
+        uv = np.full((n, 3), -1.0, np.float32)
+        valid = np.zeros(n, bool)
+        stereo = np.zeros(n, bool)
+        inv_s2 = np.ones(n, np.float32)
+        xw[slots] = self.world.lm_pos[obs_lm[slots]]
+        kxy = np.asarray(kp.xy)
+        uv[slots, :2] = kxy[slots]
+        lvl = np.asarray(kp.level)
+        inv_s2[slots] = 1.0 / self.sigma2[lvl[slots]]
+        valid[slots] = True
+        obs = pose_opt.PoseObs(
+            xw=jnp.asarray(xw),
+            uv=jnp.asarray(uv),
+            inv_sigma2=jnp.asarray(inv_s2),
+            is_stereo=jnp.asarray(stereo),
+            valid=jnp.asarray(valid),
+        )
+        T, inlier, n_inl = pose_opt.pose_optimization(self.cam, jnp.float32(self.bf), T0, obs)
+        inlier = np.asarray(inlier)
+        obs_out = obs_lm.copy()
+        obs_out[~inlier] = -1
+        return T, obs_out, int(n_inl)
+
+    def _track_motion_model(self, kp, T_pred, last: FrameState):
+        """TrackWithMotionModel (Tracking.cc:2783-2876).
+
+        All device inputs are padded to the fixed kp_cap so the matcher jit
+        compiles exactly once."""
+        has = last.obs_lm >= 0
+        if has.sum() < 10:
+            return False, T_pred, None, 0
+        lm_ids = np.where(has, last.obs_lm, 0)
+        pos = jnp.asarray(self.world.lm_pos[lm_ids])
+        proj = cam_models.project(self.cam, T_pred.apply(pos))
+        pvalid = jnp.asarray(self.world.lm_valid[lm_ids] & has)
+        idx, accept = _search_frame_to_frame(
+            kp,
+            proj,
+            pvalid,
+            jnp.asarray(self.world.lm_desc[lm_ids]),
+            last.kp.level,
+            last.kp.angle,
+            self.scales,
+            radius=self.cfg.motion_radius,
+        )
+        acc = np.asarray(accept)
+        if acc.sum() < self.cfg.min_motion_inliers:
+            return False, T_pred, None, 0
+        obs_lm = np.full(self.kp_cap, -1, dtype=np.int32)
+        obs_lm[np.asarray(idx)[acc]] = lm_ids[acc]
+        T, obs_lm, n_inl = self._pose_opt_from_obs(kp, T_pred, obs_lm)
+        return n_inl >= self.cfg.min_motion_inliers, T, obs_lm, n_inl
+
+    def _track_reference_kf(self, kp, T_last):
+        """TrackReferenceKeyFrame (Tracking.cc:2663-2718): descriptor match
+        against the reference keyframe's landmarks, optimize from last pose."""
+        k = self.ref_kf
+        if k < 0:
+            return False, T_last, None, 0
+        has_lm = self.world.kf_obs[k] >= 0
+        idx, accept = mat.search_descriptors_mutual(
+            jnp.asarray(self.world.kf_desc[k]),
+            jnp.asarray(has_lm & self.world.kf_kp_valid[k]),
+            kp.desc,
+            kp.valid,
+            th=100,
+            ratio=0.85,
+        )
+        acc = np.asarray(accept)
+        if acc.sum() < 15:
+            return False, T_last, None, 0
+        lm_ids = self.world.kf_obs[k][acc]
+        obs_lm = np.full(self.kp_cap, -1, dtype=np.int32)
+        obs_lm[np.asarray(idx)[acc]] = lm_ids
+        T, obs_lm, n_inl = self._pose_opt_from_obs(kp, T_last, obs_lm)
+        return n_inl >= self.cfg.min_motion_inliers, T, obs_lm, n_inl
+
+    def _local_landmark_ids(self) -> np.ndarray:
+        """UpdateLocalKeyFrames/Points (Tracking.cc:3370/3341): landmarks of
+        the reference KF's covisibility neighborhood."""
+        k = self.ref_kf
+        kfs = [k] + list(self.world.best_covisible(k, 10, min_shared=5))
+        # add temporally recent KFs
+        for r in range(max(0, self.world.n_kf - 3), self.world.n_kf):
+            if r not in kfs:
+                kfs.append(r)
+        return self.world.local_landmarks(np.asarray(kfs, dtype=np.int64))
+
+    def _track_local_map(self, kp, T_est, obs_lm):
+        """TrackLocalMap (Tracking.cc:2879-2970)."""
+        lm_ids = self._local_landmark_ids()
+        cap = self.cfg.lm_cap
+        if len(lm_ids) > cap:
+            lm_ids = lm_ids[np.random.default_rng(0).choice(len(lm_ids), cap, replace=False)]
+        pad = cap - len(lm_ids)
+        lm_ids_p = np.concatenate([lm_ids, np.zeros(pad, dtype=lm_ids.dtype)])
+        lm_mask = np.concatenate([np.ones(len(lm_ids), bool), np.zeros(pad, bool)])
+        uv, pred_level, visible = _visible_landmarks(
+            self.cam,
+            jnp.asarray(T_est.R),
+            jnp.asarray(T_est.t),
+            jnp.asarray(self.world.lm_pos[lm_ids_p]),
+            jnp.asarray(lm_mask & self.world.lm_valid[lm_ids_p]),
+            jnp.asarray(self.world.lm_normal[lm_ids_p]),
+            jnp.asarray(self.world.lm_dmin[lm_ids_p]),
+            jnp.asarray(self.world.lm_dmax[lm_ids_p]),
+            self.wh,
+        )
+        # visibility counters (GetFoundRatio bookkeeping, SearchLocalPoints)
+        vis_np = np.asarray(visible)
+        np.add.at(self.world.lm_visible, lm_ids_p[vis_np], 1)
+        # don't re-match landmarks already associated this frame
+        already = np.isin(lm_ids_p, obs_lm[obs_lm >= 0])
+        search_mask = visible & jnp.asarray(~already)
+        idx, accept = _search_by_projection(
+            kp,
+            uv,
+            search_mask,
+            jnp.asarray(self.world.lm_desc[lm_ids_p]),
+            pred_level,
+            self.scales,
+            radius=self.cfg.map_radius,
+        )
+        acc = np.asarray(accept)
+        new_obs = obs_lm.copy()
+        tgt = np.asarray(idx)[acc]
+        # only fill slots that are still free
+        free = new_obs[tgt] < 0
+        new_obs[tgt[free]] = lm_ids_p[acc][free]
+        T, new_obs, n_inl = self._pose_opt_from_obs(kp, T_est, new_obs)
+        matched = new_obs >= 0
+        np.add.at(self.world.lm_found, new_obs[matched], 1)
+        self.stats["matches"].append(int(matched.sum()))
+        return n_inl >= self.cfg.min_map_inliers, T, new_obs, n_inl
+
+    # ------------------------------------------------------------------
+    # keyframe policy
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, n_inl, depth) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:2971-3127) simplified to its core
+        conditions: c1a (max frames), c1c+c2 (tracked ratio vs reference)."""
+        if self.mapper is None:
+            return False
+        # nRefMatches = reference KF landmarks with >= 3 observations
+        # (KeyFrame::TrackedMapPoints(3), used at Tracking.cc:3009)
+        ref_obs = self.world.kf_obs[self.ref_kf]
+        ref_lm = ref_obs[ref_obs >= 0]
+        min_obs = 3 if self.world.n_kf > 2 else 2  # Tracking.cc:2996-2998
+        ref_tracked = int(
+            ((self.world.lm_n_obs[ref_lm] >= min_obs) & self.world.lm_valid[ref_lm]).sum()
+        )
+        ref_tracked = max(ref_tracked, 15)
+        c1a = self.frames_since_kf >= self.cfg.max_frames_between_kf
+        ratio = self.cfg.kf_tracked_ratio
+        need_close = False
+        if depth is not None:
+            # stereo/RGB-D: "need to insert close points" (Tracking.cc:3028-3045)
+            ratio = 0.75
+            base = self.bf / float(self.cam.params[0])
+            close = (depth > 0) & (depth < self.cfg.th_depth * base)
+            tracked_close = int((close & (self.last.obs_lm >= 0)).sum())
+            untracked_close = int((close & (self.last.obs_lm < 0)).sum())
+            need_close = tracked_close < 100 and untracked_close > 70
+        c2 = (n_inl < ref_tracked * ratio or need_close) and n_inl > self.cfg.min_map_inliers
+        min_gap = 1 if need_close else 2
+        return bool((c1a or c2) and self.frames_since_kf >= min_gap)
+
+    def _create_keyframe(self):
+        """CreateNewKeyFrame (Tracking.cc:3127-3247) + synchronous local
+        mapping (the reference queues to the LocalMapping thread)."""
+        last = self.last
+        k = self.world.add_keyframe(
+            last.kp, last.R, last.t, last.ts, depth=last.depth, right_u=last.right_u
+        )
+        slots = np.nonzero(last.obs_lm >= 0)[0]
+        self.world.add_observations(k, slots, last.obs_lm[slots])
+        # stereo/RGB-D: create landmarks for close unmatched points
+        if last.depth is not None:
+            self._create_stereo_landmarks(k, last)
+        self.ref_kf = k
+        self.frames_since_kf = 0
+        if self.mapper is not None:
+            self.mapper.process_new_keyframe(self.world, k)
+            # tracking continues from the (possibly BA-adjusted) keyframe pose
+            self.last.R = self.world.kf_R[k].copy()
+            self.last.t = self.world.kf_t[k].copy()
+
+    def _create_stereo_landmarks(self, k: int, last: FrameState):
+        base = self.bf / float(self.cam.params[0])
+        close = (
+            (last.obs_lm < 0)
+            & (last.depth > 0)
+            & (last.depth < self.cfg.th_depth * base)
+            & np.asarray(last.kp.valid)
+        )
+        slots = np.nonzero(close)[0]
+        if len(slots) == 0:
+            return
+        # closest first, capped (CreateNewKeyFrame inserts ~100 closest)
+        order = np.argsort(last.depth[slots])
+        slots = slots[order[: self.cfg.max_stereo_lm_per_kf]]
+        ray = np.asarray(cam_models.unproject(self.cam, last.kp.xy[slots]))
+        pos_c = ray * last.depth[slots][:, None]
+        Rwc = last.R.T
+        pos_w = pos_c @ Rwc.T + (-Rwc @ last.t)[None, :]
+        ids = self.world.add_landmarks(
+            pos_w.astype(np.float32),
+            np.asarray(last.kp.desc)[slots],
+            k,
+            slots,
+            np.asarray(last.kp.level)[slots],
+        )
+        self.last.obs_lm[slots] = ids

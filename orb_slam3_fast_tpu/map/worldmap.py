@@ -1,0 +1,222 @@
+"""SoA world map: keyframes, landmarks, observations, covisibility.
+
+TPU-native replacement for the reference's pointer-graph map model
+(``/root/reference/src/{KeyFrame,MapPoint,Map}.cc``): ``KeyFrame*``/
+``MapPoint*`` objects with per-object mutexes become fixed-capacity
+structure-of-arrays tables with validity masks (SURVEY.md §7 design stance).
+Culling = clearing a mask bit; serialization = ``np.savez`` of the arrays;
+covisibility = one boolean-incidence matmul instead of
+``KeyFrame::UpdateConnections`` map-counting loops (KeyFrame.cc:379-475).
+
+The map lives on the host (numpy) — it is the mutable, asynchronously
+updated store; device programs (matching/BA) receive padded slices.  This
+mirrors the reference's split where Tracking/LocalMapping threads mutate the
+map under ``mMutexMapUpdate`` while optimization works on copies, but here
+the "snapshot" is just an array slice (no locks needed in the synchronous
+pipeline; the async pipeline versions snapshots).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class WorldMap:
+    kp_cap: int  # keypoint slots per keyframe
+    max_kf: int = 256
+    max_lm: int = 40000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+
+    def __post_init__(self):
+        K, N, M = self.max_kf, self.kp_cap, self.max_lm
+        self.n_kf = 0
+        self.kf_valid = np.zeros(K, dtype=bool)
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))  # T_cw
+        self.kf_t = np.zeros((K, 3), dtype=np.float32)
+        self.kf_ts = np.zeros(K, dtype=np.float64)
+        # per-KF keypoints (immutable once inserted, like the reference)
+        self.kf_xy = np.zeros((K, N, 2), dtype=np.float32)
+        self.kf_level = np.zeros((K, N), dtype=np.int32)
+        self.kf_angle = np.zeros((K, N), dtype=np.float32)
+        self.kf_desc = np.zeros((K, N, 256), dtype=np.int8)
+        self.kf_kp_valid = np.zeros((K, N), dtype=bool)
+        self.kf_depth = np.full((K, N), -1.0, dtype=np.float32)  # stereo/RGBD
+        self.kf_right_u = np.full((K, N), -1.0, dtype=np.float32)
+        # observations: landmark id per keypoint slot (-1 = none)
+        self.kf_obs = np.full((K, N), -1, dtype=np.int32)
+        # landmarks
+        self.n_lm = 0
+        self.lm_valid = np.zeros(M, dtype=bool)
+        self.lm_pos = np.zeros((M, 3), dtype=np.float32)
+        self.lm_desc = np.zeros((M, 256), dtype=np.int8)
+        self.lm_normal = np.zeros((M, 3), dtype=np.float32)
+        self.lm_dmin = np.zeros(M, dtype=np.float32)
+        self.lm_dmax = np.zeros(M, dtype=np.float32)
+        self.lm_first_kf = np.full(M, -1, dtype=np.int32)
+        self.lm_visible = np.zeros(M, dtype=np.int32)  # GetFoundRatio counters
+        self.lm_found = np.zeros(M, dtype=np.int32)
+        self.lm_n_obs = np.zeros(M, dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    # keyframes
+    # ------------------------------------------------------------------
+    def add_keyframe(self, kp, R, t, ts, depth=None, right_u=None) -> int:
+        """kp: extractor.Keypoints (host numpy views ok)."""
+        k = self.n_kf
+        if k >= self.max_kf:
+            raise RuntimeError("keyframe capacity exceeded")
+        self.kf_valid[k] = True
+        self.kf_R[k] = np.asarray(R)
+        self.kf_t[k] = np.asarray(t)
+        self.kf_ts[k] = ts
+        n = min(self.kp_cap, kp.xy.shape[0])
+        self.kf_xy[k, :n] = np.asarray(kp.xy)[:n]
+        self.kf_level[k, :n] = np.asarray(kp.level)[:n]
+        self.kf_angle[k, :n] = np.asarray(kp.angle)[:n]
+        self.kf_desc[k, :n] = np.asarray(kp.desc)[:n]
+        self.kf_kp_valid[k, :n] = np.asarray(kp.valid)[:n]
+        if depth is not None:
+            self.kf_depth[k, :n] = np.asarray(depth)[:n]
+        if right_u is not None:
+            self.kf_right_u[k, :n] = np.asarray(right_u)[:n]
+        self.n_kf += 1
+        return k
+
+    def set_pose(self, k: int, R, t):
+        self.kf_R[k] = np.asarray(R)
+        self.kf_t[k] = np.asarray(t)
+
+    def camera_center(self, k: int) -> np.ndarray:
+        return -self.kf_R[k].T @ self.kf_t[k]
+
+    # ------------------------------------------------------------------
+    # landmarks
+    # ------------------------------------------------------------------
+    def add_landmarks(self, pos, desc, first_kf, kp_idx, levels) -> np.ndarray:
+        """Create landmarks observed by keyframe ``first_kf`` at slots
+        ``kp_idx``; returns new landmark ids.  Scale-invariance limits follow
+        MapPoint::UpdateNormalAndDepth (MapPoint.cc:461-540)."""
+        n = len(pos)
+        ids = np.arange(self.n_lm, self.n_lm + n, dtype=np.int32)
+        if self.n_lm + n > self.max_lm:
+            raise RuntimeError("landmark capacity exceeded")
+        self.lm_valid[ids] = True
+        self.lm_pos[ids] = pos
+        self.lm_desc[ids] = desc
+        center = self.camera_center(first_kf)
+        d = pos - center[None, :]
+        dist = np.linalg.norm(d, axis=-1)
+        self.lm_normal[ids] = d / np.maximum(dist[:, None], 1e-9)
+        level_sf = self.scale_factor ** levels.astype(np.float32)
+        self.lm_dmax[ids] = dist * level_sf
+        self.lm_dmin[ids] = self.lm_dmax[ids] / (self.scale_factor ** (self.n_levels - 1))
+        self.lm_first_kf[ids] = first_kf
+        self.kf_obs[first_kf, kp_idx] = ids
+        self.lm_n_obs[ids] = 1
+        self.lm_visible[ids] = 1
+        self.lm_found[ids] = 1
+        self.n_lm += n
+        return ids
+
+    def add_observations(self, kf: int, kp_idx: np.ndarray, lm_ids: np.ndarray):
+        prev = self.kf_obs[kf, kp_idx]
+        fresh = prev < 0
+        self.kf_obs[kf, kp_idx[fresh]] = lm_ids[fresh]
+        np.add.at(self.lm_n_obs, lm_ids[fresh], 1)
+
+    def remove_landmarks(self, lm_ids: np.ndarray):
+        """SetBadFlag equivalent: mask out + detach observations."""
+        self.lm_valid[lm_ids] = False
+        K = self.n_kf
+        obs = self.kf_obs[:K]
+        kill = np.isin(obs, lm_ids)
+        obs[kill] = -1
+
+    def update_landmark_stats(self, lm_ids: np.ndarray):
+        """Recompute normal/depth limits from current observations
+        (MapPoint::UpdateNormalAndDepth)."""
+        if len(lm_ids) == 0:
+            return
+        K = self.n_kf
+        centers = np.stack([self.camera_center(k) for k in range(K)])
+        for lid in lm_ids:
+            kfs, slots = np.nonzero(self.kf_obs[:K] == lid)
+            if len(kfs) == 0:
+                continue
+            d = self.lm_pos[lid][None] - centers[kfs]
+            dist = np.linalg.norm(d, axis=-1)
+            self.lm_normal[lid] = (d / np.maximum(dist[:, None], 1e-9)).mean(0)
+            ref = kfs[0]
+            lvl = self.kf_level[ref, slots[0]]
+            self.lm_dmax[lid] = dist[0] * self.scale_factor**lvl
+            self.lm_dmin[lid] = self.lm_dmax[lid] / (self.scale_factor ** (self.n_levels - 1))
+            self.lm_n_obs[lid] = len(kfs)
+
+    # ------------------------------------------------------------------
+    # covisibility
+    # ------------------------------------------------------------------
+    def covisibility_counts(self, k: int) -> np.ndarray:
+        """Shared-landmark counts between KF k and every other KF (the
+        covisibility weights of UpdateConnections, threshold applied by
+        callers)."""
+        K = self.n_kf
+        obs_k = self.kf_obs[k]
+        obs_k = obs_k[obs_k >= 0]
+        if len(obs_k) == 0:
+            return np.zeros(K, dtype=np.int32)
+        counts = np.zeros(K, dtype=np.int32)
+        mask = np.isin(self.kf_obs[:K], obs_k)
+        counts = mask.sum(axis=1).astype(np.int32)
+        counts[k] = 0
+        return counts
+
+    def best_covisible(self, k: int, n: int, min_shared: int = 15) -> np.ndarray:
+        c = self.covisibility_counts(k)
+        order = np.argsort(-c)
+        order = order[c[order] >= max(min_shared, 1)]
+        return order[:n]
+
+    def local_landmarks(self, kf_ids: np.ndarray) -> np.ndarray:
+        """Union of landmarks observed by the given keyframes."""
+        obs = self.kf_obs[kf_ids]
+        ids = np.unique(obs[obs >= 0])
+        return ids[self.lm_valid[ids]]
+
+    def observations_of(self, lm_ids: np.ndarray, kf_ids: np.ndarray):
+        """COO observation triplets restricted to (kf_ids x lm_ids).
+
+        Returns (obs_kf_local, obs_lm_local, slots) where *_local index into
+        the given id arrays."""
+        lm_to_local = -np.ones(self.max_lm, dtype=np.int32)
+        lm_to_local[lm_ids] = np.arange(len(lm_ids))
+        rows = []
+        for i, k in enumerate(kf_ids):
+            slots = np.nonzero(self.kf_obs[k] >= 0)[0]
+            lml = lm_to_local[self.kf_obs[k, slots]]
+            good = lml >= 0
+            rows.append((np.full(good.sum(), i, dtype=np.int32), lml[good], slots[good]))
+        if not rows:
+            return (np.zeros(0, np.int32),) * 3
+        return tuple(np.concatenate(x) for x in zip(*rows))
+
+    # ------------------------------------------------------------------
+    # persistence (checkpoint/resume ~ boost::serialization of Atlas)
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        np.savez_compressed(path, **{k: v for k, v in self.__dict__.items() if isinstance(v, np.ndarray)},
+                            n_kf=self.n_kf, n_lm=self.n_lm, kp_cap=self.kp_cap,
+                            max_kf=self.max_kf, max_lm=self.max_lm)
+
+    @staticmethod
+    def load(path: str) -> "WorldMap":
+        z = np.load(path)
+        wm = WorldMap(int(z["kp_cap"]), int(z["max_kf"]), int(z["max_lm"]))
+        for k in wm.__dict__:
+            if isinstance(getattr(wm, k), np.ndarray) and k in z:
+                setattr(wm, k, z[k].copy())
+        wm.n_kf = int(z["n_kf"])
+        wm.n_lm = int(z["n_lm"])
+        return wm

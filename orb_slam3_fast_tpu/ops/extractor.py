@@ -173,6 +173,32 @@ def select_keypoints(score: jnp.ndarray, n_target: int, cell: int, cand_per_cell
 # ---------------------------------------------------------------------------
 
 
+def subpixel_refine(score: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Parabolic subpixel refinement of keypoint positions on the response
+    map (neither OpenCV FAST nor the reference does this — integer keypoint
+    quantization is a measurable drift source, and on TPU the refinement is
+    three gathers + a fused ratio).  Returns (N,2) float offsets in [-0.5,0.5].
+    """
+    h, w = score.shape
+    x = xy[:, 0]
+    y = xy[:, 1]
+    flat = score.reshape(-1)
+
+    def at(dy, dx):
+        yy = jnp.clip(y + dy, 0, h - 1)
+        xx = jnp.clip(x + dx, 0, w - 1)
+        return flat[yy * w + xx]
+
+    c = at(0, 0)
+    dx_num = at(0, 1) - at(0, -1)
+    dx_den = 2.0 * (2.0 * c - at(0, 1) - at(0, -1))
+    dy_num = at(1, 0) - at(-1, 0)
+    dy_den = 2.0 * (2.0 * c - at(1, 0) - at(-1, 0))
+    ox = jnp.where(jnp.abs(dx_den) > 1e-6, dx_num / jnp.where(jnp.abs(dx_den) < 1e-6, 1.0, dx_den), 0.0)
+    oy = jnp.where(jnp.abs(dy_den) > 1e-6, dy_num / jnp.where(jnp.abs(dy_den) < 1e-6, 1.0, dy_den), 0.0)
+    return jnp.stack([jnp.clip(ox, -0.5, 0.5), jnp.clip(oy, -0.5, 0.5)], axis=-1)
+
+
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation (reference IC_Angle, ORBextractor.cc:75-100).
 
@@ -244,8 +270,8 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypo
     outs = []
     for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
         h, w = lvl_img.shape
-        score = fast_ops.fast_with_fallback(lvl_img, cfg.ini_th_fast, cfg.min_th_fast)
-        score = fast_ops.nonmax_3x3(score)
+        score_raw = fast_ops.fast_with_fallback(lvl_img, cfg.ini_th_fast, cfg.min_th_fast)
+        score = fast_ops.nonmax_3x3(score_raw)
         # keep clear of the descriptor border
         yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -257,6 +283,10 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypo
         )
         score = jnp.where(inb, score, 0.0)
         xy, resp, valid = select_keypoints(score, n_l, cfg.cell, cfg.cand_per_cell)
+        # NOTE: subpixel_refine on the sparse SAD response was tried and
+        # degrades tracking (zero-valued neighbors bias the parabola); keep
+        # integer positions like the reference until a smooth corner
+        # response (Harris-style) backs the refinement.
         ang = ic_angles(lvl_img, xy)
         blur = image_ops.gaussian_blur(lvl_img)
         desc = brief_descriptors(blur, xy, ang)

@@ -209,3 +209,95 @@ def stereo_match(
     # sanity: positive finite depth
     accept = accept & (depth > 0) & (depth < 1e6)
     return StereoMatches(jnp.where(accept, ur, -1.0), jnp.where(accept, depth, -1.0), accept)
+
+
+def search_for_triangulation(
+    kp_a: Keypoints,
+    kp_b: Keypoints,
+    free_a: jnp.ndarray,
+    free_b: jnp.ndarray,
+    F_ab: jnp.ndarray,
+    level_sigma2: jnp.ndarray,
+    th: int = ham.TH_LOW,
+    ratio: float = 0.85,
+):
+    """Epipolar-constrained matching of *unmatched* features between two
+    keyframes for new-landmark triangulation (reference
+    SearchForTriangulation, ORBmatcher.cc:886-1106 — there BoW-node
+    restricted; here the epipolar band itself prunes the candidate set and
+    the whole matrix is one masked matmul).
+
+    F_ab: fundamental matrix such that x_b^T F_ab x_a = 0 (pixel coords).
+    free_*: keypoint slots not yet associated to a landmark.
+    """
+    d = ham.hamming_matrix(kp_a.desc, kp_b.desc)
+    xa = jnp.concatenate([kp_a.xy, jnp.ones_like(kp_a.xy[:, :1])], axis=-1)
+    xb = jnp.concatenate([kp_b.xy, jnp.ones_like(kp_b.xy[:, :1])], axis=-1)
+    lines_b = xa @ F_ab.T  # (Na,3) epipolar line of a-point in image b
+    num = jnp.einsum("ai,bi->ab", lines_b, xb)
+    den = lines_b[:, 0] ** 2 + lines_b[:, 1] ** 2
+    dsq = (num * num) / jnp.maximum(den[:, None], 1e-12)
+    # chi2 gate at 3.84 * sigma2 of the b keypoint's level (ORBmatcher.cc:1067)
+    band = dsq < 3.84 * level_sigma2[kp_b.level][None, :]
+    mask = band & free_a[:, None] & free_b[None, :] & kp_a.valid[:, None] & kp_b.valid[None, :]
+    b_ab = ham.masked_best2(d, mask)
+    b_ba = ham.masked_best2(d.T, mask.T)
+    accept = ham.ratio_gate(b_ab, ratio, th)
+    accept = accept & ham.mutual_consistency(b_ab.idx, b_ba.idx)
+    return b_ab.idx, accept
+
+
+def stereo_subpixel_refine(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    xy_l: jnp.ndarray,
+    right_u: jnp.ndarray,
+    valid: jnp.ndarray,
+    win: int = 5,
+    search: int = 5,
+):
+    """SAD sliding-window subpixel disparity refinement (reference
+    Frame::ComputeStereoMatches correlation stage, Frame.cc:1005-1056):
+    an 11x11 patch around the left keypoint is compared against the right
+    image at integer offsets in [-search, search] around the Hamming match,
+    and the best SAD is polished with a parabola fit.
+
+    Whole batch at once: (N, 2*search+1) SAD matrix from gathered patches.
+    Returns (refined_right_u, ok) — ok mirrors the reference's rejection of
+    refinements that run off the search range.
+    """
+    h, w = img_l.shape
+    n = xy_l.shape[0]
+    d = 2 * win + 1
+    yy = jnp.clip(jnp.round(xy_l[:, 1]).astype(jnp.int32), win, h - win - 1)
+    xl = jnp.clip(jnp.round(xy_l[:, 0]).astype(jnp.int32), win + search, w - win - search - 1)
+    xr0 = jnp.clip(jnp.round(right_u).astype(jnp.int32), win + search, w - win - search - 1)
+    oy, ox = jnp.meshgrid(jnp.arange(-win, win + 1), jnp.arange(-win, win + 1), indexing="ij")
+    flat_l = img_l.reshape(-1)
+    flat_r = img_r.reshape(-1)
+    # left patches (N, d*d)
+    idx_l = (yy[:, None] + oy.reshape(-1)[None, :]) * w + (xl[:, None] + ox.reshape(-1)[None, :])
+    pl = flat_l[idx_l]
+    # normalize by the center pixel as the reference does (Frame.cc:1007-1012)
+    pl = pl - pl[:, (d * d) // 2 : (d * d) // 2 + 1]
+    offs = jnp.arange(-search, search + 1)
+    sads = []
+    for k in range(2 * search + 1):
+        idx_r = (yy[:, None] + oy.reshape(-1)[None, :]) * w + (
+            xr0[:, None] + offs[k] + ox.reshape(-1)[None, :]
+        )
+        pr = flat_r[idx_r]
+        pr = pr - pr[:, (d * d) // 2 : (d * d) // 2 + 1]
+        sads.append(jnp.sum(jnp.abs(pl - pr), axis=-1))
+    sad = jnp.stack(sads, axis=-1)  # (N, 2s+1)
+    best = jnp.argmin(sad, axis=-1)
+    interior = (best > 0) & (best < 2 * search)
+    bi = jnp.clip(best, 1, 2 * search - 1)
+    c = jnp.take_along_axis(sad, bi[:, None], axis=1)[:, 0]
+    m = jnp.take_along_axis(sad, (bi - 1)[:, None], axis=1)[:, 0]
+    p = jnp.take_along_axis(sad, (bi + 1)[:, None], axis=1)[:, 0]
+    denom = jnp.maximum(m + p - 2.0 * c, 1e-6)
+    delta = jnp.clip(0.5 * (m - p) / denom, -1.0, 1.0)
+    refined = xr0.astype(jnp.float32) + (bi - search).astype(jnp.float32) + delta
+    ok = valid & interior
+    return jnp.where(ok, refined, right_u), ok

@@ -177,40 +177,53 @@ def triangulate_dlt(P0, P1, x0, x1):
 
 def _check_rt(R, t, x0, x1, valid, sigma2, th2=4.0):
     """Score a motion hypothesis by triangulating all matches
-    (CheckRT, TwoViewReconstruction.cc:443-545).  Normalized-plane inputs.
+    (CheckRT, TwoViewReconstruction.cc:845-947).  Normalized-plane inputs.
 
-    Returns (n_good, good_mask, parallax_deg, X)."""
+    Reference semantics preserved exactly:
+      * the cheirality test only rejects behind-camera points that HAVE
+        parallax — near-infinite points (cos >= 0.99998) get a pass because
+        their depth sign is numerically meaningless (:901, :907);
+      * ``n_good`` counts every point passing cheirality+reprojection, with
+        or without parallax (:933);
+      * the *triangulated* flag additionally requires parallax (:935);
+      * reported parallax = acos of the ascending-sorted cos at index
+        min(50, n_good-1) (:938-943).
+
+    Returns (n_good, tri_mask, parallax_deg, X)."""
     P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
     P1 = jnp.concatenate([R, t[:, None]], axis=1)
     X = triangulate_dlt(P0, P1, x0, x1)
     finite = jnp.all(jnp.isfinite(X), axis=-1)
-    # parallax between the two rays
     o1 = -R.T @ t
     n0 = X
     n1 = X - o1
     cosp = jnp.sum(n0 * n1, axis=-1) / jnp.maximum(
         jnp.linalg.norm(n0, axis=-1) * jnp.linalg.norm(n1, axis=-1), 1e-12
     )
+    has_par = cosp < 0.99998
     z0 = X[:, 2]
     Xc1 = X @ R.T + t
     z1 = Xc1[:, 2]
-    # reprojection in normalized plane, scaled to pixels by caller's sigma2
-    e0 = jnp.sum((X[:, :2] / jnp.maximum(z0[:, None], 1e-9) - x0) ** 2, axis=-1)
-    e1 = jnp.sum((Xc1[:, :2] / jnp.maximum(z1[:, None], 1e-9) - x1) ** 2, axis=-1)
-    good = (
-        valid
-        & finite
-        & (z0 > 0)
-        & (z1 > 0)
-        & (cosp < 0.99998)
-        & (e0 < th2 * sigma2)
-        & (e1 < th2 * sigma2)
+    cheirality_ok = ~((z0 <= 0) & has_par) & ~((z1 <= 0) & has_par)
+    z0s = jnp.where(jnp.abs(z0) < 1e-9, 1e-9, z0)
+    z1s = jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
+    e0 = jnp.sum((X[:, :2] / z0s[:, None] - x0) ** 2, axis=-1)
+    e1 = jnp.sum((Xc1[:, :2] / z1s[:, None] - x1) ** 2, axis=-1)
+    counted = valid & finite & cheirality_ok & (e0 < th2 * sigma2) & (e1 < th2 * sigma2)
+    n_good = jnp.sum(counted.astype(jnp.int32))
+    tri = counted & has_par & (z0 > 0) & (z1 > 0)
+    cosp_sorted = jnp.sort(jnp.where(counted, cosp, 2.0))  # counted first
+    kth = cosp_sorted[jnp.clip(jnp.minimum(50, n_good - 1), 0, cosp.shape[0] - 1)]
+    parallax = jnp.where(
+        n_good > 0, jnp.degrees(jnp.arccos(jnp.clip(kth, -1.0, 1.0))), 0.0
     )
-    # parallax of the 50th-best good point (ref takes idx 50 of sorted)
-    cosp_good = jnp.where(good, cosp, 1.0)
-    kth = jnp.sort(cosp_good)[jnp.minimum(50, cosp_good.shape[0] - 1)]
-    parallax = jnp.degrees(jnp.arccos(jnp.clip(kth, -1.0, 1.0)))
-    return jnp.sum(good.astype(jnp.int32)), good, parallax, X
+    # residual-quality score: counting alone cannot separate near-mirror H
+    # solutions whose reprojections squeak under the chi2 gate — the true
+    # motion's residuals are far smaller, and this score sees that.
+    q = jnp.sum(
+        jnp.where(counted, 2.0 * th2 - (e0 + e1) / jnp.maximum(sigma2, 1e-18), 0.0)
+    )
+    return n_good, tri, parallax, X, q
 
 
 def _motions_from_f(F):
@@ -345,39 +358,62 @@ def reconstruct(
     SH = jnp.maximum(jnp.max(score_h), score_hr)
     best_f = jnp.where(score_fr >= jnp.max(score_f), best_f, Fs[jnp.argmax(score_f)])
     best_h = jnp.where(score_hr >= jnp.max(score_h), best_h, Hs[jnp.argmax(score_h)])
+    _, inl_f = _score_f(best_f, x0, x1, valid, sigma2)
+    _, inl_h = _score_h(best_h, x0, x1, valid, sigma2)
     rh = SH / jnp.maximum(SH + SF, 1e-12)
-    # 0.40 (classic ORB-SLAM selection) rather than 0.50: for a perfectly
-    # planar scene F also fits exactly, so RH ~= 0.5 and the threshold must
-    # bias toward H to catch the degenerate-for-F case.
-    use_h = rh > 0.40
+    # between ORB-SLAM1's 0.40 and ORB-SLAM3's 0.50: for a perfectly planar
+    # scene F also fits exactly (RH ~= 0.5), so the threshold must lean
+    # toward H to catch the degenerate-for-F case without stealing clearly
+    # 3-D scenes from F.
+    prefer_h = rh > 0.45
 
-    # --- motion hypotheses from both models; evaluate all 12, select by model
+    # --- motion hypotheses from both models; evaluate all 12 in one batch
     Rf, tf = _motions_from_f(best_f)
     Rh, th_ = _motions_from_h(best_h)
     Rall = jnp.concatenate([Rf, Rh])  # (12,3,3)
     tall = jnp.concatenate([tf, th_])
-    is_h_motion = jnp.arange(12) >= 4
+    # CheckRT runs over each model's own RANSAC inliers (reference passes
+    # vbMatchesInliers into CheckRT)
+    inl_all = jnp.where(jnp.arange(12)[:, None] >= 4, inl_h[None, :], inl_f[None, :])
+    ngood, goods, parallax, Xs, qual = jax.vmap(
+        lambda R, t, inl: _check_rt(R, t, x0, x1, valid & inl, sigma2)
+    )(Rall, tall, inl_all)
 
-    ngood, goods, parallax, Xs = jax.vmap(
-        lambda R, t: _check_rt(R, t, x0, x1, valid, sigma2)
-    )(Rall, tall)
-    model_ok = jnp.where(use_h, is_h_motion, ~is_h_motion)
-    ngood_m = jnp.where(model_ok, ngood, -1)
-    best = jnp.argmax(ngood_m)
-    nbest = ngood_m[best]
-    # dominance: second best (within model) must be < 0.75 * best (ref uses
-    # 0.7/0.9 variants for F/H; 0.75 splits the difference)
-    ngood_wo = ngood_m.at[best].set(-1)
-    nsecond = jnp.max(ngood_wo)
-    nmin = jnp.maximum(
-        jnp.asarray(min_triangulated, jnp.int32),
-        (0.9 * jnp.sum(valid)).astype(jnp.int32) // 2,
-    )
-    success = (
-        (nbest >= nmin)
-        & (nsecond.astype(jnp.float32) < 0.75 * nbest.astype(jnp.float32))
-        & (parallax[best] > min_parallax_deg)
-    )
+    def model_verdict(sel, inl, dom):
+        # select by residual-quality score; gate count + dominance on BOTH
+        # count and quality (a mirror solution may pass one but not both)
+        qq = jnp.where(sel, qual, -1.0)
+        ng = jnp.where(sel, ngood, -1)
+        b = jnp.argmax(qq)
+        nb = ng[b]
+        ns = jnp.max(ng.at[b].set(-1))
+        qs = jnp.max(qq.at[b].set(-1.0))
+        nmin = jnp.maximum(
+            jnp.asarray(min_triangulated, jnp.int32),
+            (0.9 * jnp.sum((valid & inl).astype(jnp.int32))).astype(jnp.int32),
+        )
+        ps = jnp.max(jnp.where(sel, parallax, -1.0).at[b].set(-1.0))
+        dominant = (
+            (ns.astype(jnp.float32) < dom * nb.astype(jnp.float32))
+            | (qs < 0.6 * qq[b])
+            # mirror solutions warp depth to absorb residuals but cannot fake
+            # the true solution's parallax — a 2x parallax margin settles it
+            | (ps < 0.5 * parallax[b])
+        )
+        ok = (nb >= nmin) & dominant & (parallax[b] > min_parallax_deg)
+        return ok, b
+
+    # dominance thresholds: ReconstructF uses 0.7 (:586), ReconstructH 0.75 (:805)
+    ok_f, best_fi = model_verdict(jnp.arange(12) < 4, inl_f, 0.7)
+    ok_h, best_hi = model_verdict(jnp.arange(12) >= 4, inl_h, 0.75)
+
+    # reference picks the model by RH alone; we add a fallback to the other
+    # model when the preferred one fails its own reconstruction gates — RH is
+    # a coin flip near 0.5 (low parallax / planar), and the gates are the
+    # ground truth of what a usable init needs.
+    use_h = jnp.where(prefer_h, jnp.where(ok_h, True, ~ok_f), jnp.where(ok_f, False, ok_h))
+    best = jnp.where(use_h, best_hi, best_fi)
+    success = jnp.where(use_h, ok_h, ok_f)
     return TwoViewResult(
         success=success,
         R=Rall[best],
