@@ -1,0 +1,109 @@
+"""Benchmark: stereo tracking-step throughput on the real device.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the driver
+runs this on TPU hardware.  Baseline: the reference fork's published total
+stereo tracking latency at 640x480 = 18.11 ms (~55 fps) on a desktop CPU
+(BASELINE.md / reference README.md:5-17).
+
+The measured step covers the per-frame device work of the front-end:
+dual-image ORB extraction (pyramid/FAST/NMS/orientation/BRIEF), rectified
+stereo matching, landmark projection matching against a 4096-point local
+map, and 4x10-iteration LM pose optimization — the same stages the
+reference times (ORB extract + stereo match + pose pred + LM track).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam3_fast_tpu.cameras import models as cam_models
+    from orb_slam3_fast_tpu.ops import extractor as ext
+    from orb_slam3_fast_tpu.ops import matching as mat
+    from orb_slam3_fast_tpu.optim import pose_opt
+    from orb_slam3_fast_tpu.utils import lie
+
+    cfg = ext.ExtractorConfig(n_features=1024)
+    cap = ext.total_capacity(cfg)
+    scales = jnp.asarray(cfg.scale_factor ** np.arange(cfg.n_levels), dtype=jnp.float32)
+    cam = cam_models.Camera.pinhole(458.654, 457.296, 367.215, 248.375)
+    bf = 47.9
+    n_lm = 4096
+
+    rng = np.random.default_rng(0)
+    # synthetic textured frame + local map
+    img = rng.uniform(0, 50, (480, 640)).astype(np.float32)
+    for _ in range(120):
+        cy, cx = rng.integers(20, 440), rng.integers(20, 600)
+        img[cy : cy + rng.integers(8, 24), cx : cx + rng.integers(8, 24)] += rng.uniform(80, 170)
+    img = np.clip(img, 0, 255)
+    img_r = np.roll(img, -10, axis=1)
+    lm_pos = np.stack(
+        [rng.uniform(-4, 4, n_lm), rng.uniform(-3, 3, n_lm), rng.uniform(3, 20, n_lm)], -1
+    ).astype(np.float32)
+    lm_desc = rng.integers(0, 2, (n_lm, 256)).astype(np.int8)
+    lm_level = rng.integers(0, 8, n_lm).astype(np.int32)
+
+    def tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level):
+        kp_l = ext.extract(img_l, cfg)
+        kp_r = ext.extract(img_r, cfg)
+        sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0)
+        T = lie.SE3(T_R, T_t)
+        proj = cam_models.project(cam, T.apply(lm_pos))
+        in_img = (
+            (proj[:, 0] >= 0) & (proj[:, 0] < 640) & (proj[:, 1] >= 0) & (proj[:, 1] < 480)
+        )
+        idx, accept = mat.search_by_projection(
+            kp_l, proj, in_img, lm_desc, lm_level, scales, radius=6.0
+        )
+        uvr = jnp.concatenate(
+            [kp_l.xy[idx], jnp.where(accept, sm.right_u[idx], -1.0)[:, None]], axis=1
+        )
+        obs = pose_opt.PoseObs(
+            xw=lm_pos,
+            uv=uvr,
+            inv_sigma2=jnp.ones(n_lm),
+            is_stereo=accept & (sm.right_u[idx] > 0),
+            valid=accept,
+        )
+        T_new, inlier, n_inl = pose_opt.pose_optimization(cam, jnp.float32(bf), T, obs)
+        return T_new.R, T_new.t, n_inl, sm.valid.sum()
+
+    step = jax.jit(tracking_step)
+    args = (
+        jnp.asarray(img),
+        jnp.asarray(img_r),
+        jnp.eye(3),
+        jnp.zeros(3),
+        jnp.asarray(lm_pos),
+        jnp.asarray(lm_desc),
+        jnp.asarray(lm_level),
+    )
+    # warmup / compile
+    out = jax.block_until_ready(step(*args))
+    for _ in range(3):
+        out = jax.block_until_ready(step(*args))
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = jax.block_until_ready(step(*args))
+    dt = (time.perf_counter() - t0) / n
+    fps = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_tracking_step_fps_640x480",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 55.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

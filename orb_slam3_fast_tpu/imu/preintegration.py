@@ -200,9 +200,15 @@ def preintegrate(
 
 
 def delta_rotation(p: Preintegrated, bias: jnp.ndarray) -> jnp.ndarray:
-    """Bias-corrected dR (reference GetDeltaRotation, ImuTypes.cc:249-258)."""
+    """Bias-corrected dR (reference GetDeltaRotation, ImuTypes.cc:249-258).
+
+    No SVD renormalization here (the reference calls NormalizeRotation): the
+    product of two exact rotations is orthonormal to f32 rounding, and this
+    function sits inside differentiated factors — the SVD derivative is
+    undefined at the identical singular values of a rotation and poisons
+    every inertial Jacobian with NaNs."""
     dbg = bias[:3] - p.bias[:3]
-    return lie.normalize_rotation(p.dR @ lie.so3_exp(p.JRg @ dbg))
+    return p.dR @ lie.so3_exp(p.JRg @ dbg)
 
 
 def delta_velocity(p: Preintegrated, bias: jnp.ndarray) -> jnp.ndarray:

@@ -68,6 +68,86 @@ def _robust_cost(r, prob, active):
     return jnp.sum(jnp.where(active, rho, 0.0)), chi2
 
 
+
+def build_normal_blocks(cam, bf, R, t, xw, prob: BAProblem, inlier):
+    """Per-shard normal-equation blocks from an observation subset.
+
+    Factored out of the LM step so the distributed path (parallel/dist_ba.py)
+    can build partial sums per device and psum them: every output is a plain
+    sum over observations, hence shardable over the obs axis.
+    Returns (Hpp, Hll, bp, bl, Z, w_sum_per_lm, cost)."""
+    K = R.shape[0]
+    M = xw.shape[0]
+    r, xc, posd = _obs_residuals(cam, bf, R, t, xw, prob)
+    active = prob.obs_valid & inlier & posd & prob.lm_valid[prob.obs_lm]
+    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    delta2 = jnp.where(prob.obs_is_stereo, CHI2_STEREO, CHI2_MONO)
+    w = jnp.where(active, _huber_weight(chi2, delta2) * prob.obs_inv_sigma2, 0.0)
+
+    Jproj = jax.vmap(jax.jacfwd(lambda x: cam_models.stereo_project(cam, x, bf)))(xc)
+    Jproj = jnp.where(prob.obs_is_stereo[:, None, None], Jproj, Jproj.at[:, 2, :].set(0.0))
+    dxc_dxi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3), (xc.shape[0], 3, 3)), -lie.hat(xc)], axis=-1
+    )  # (O,3,6)
+    Jp = -jnp.einsum("oij,ojk->oik", Jproj, dxc_dxi)  # (O,3,6)
+    Jl = -jnp.einsum("oij,ojk->oik", Jproj, R[prob.obs_kf])  # (O,3,3)
+    free = ~prob.pose_fixed
+    Jp = Jp * free[prob.obs_kf][:, None, None]
+
+    Hpp = jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(jnp.einsum("oij,o,oik->ojk", Jp, w, Jp))
+    Hll = jnp.zeros((M, 3, 3)).at[prob.obs_lm].add(jnp.einsum("oij,o,oik->ojk", Jl, w, Jl))
+    bp = jnp.zeros((K, 6)).at[prob.obs_kf].add(-jnp.einsum("oij,o,oi->oj", Jp, w, r))
+    bl = jnp.zeros((M, 3)).at[prob.obs_lm].add(-jnp.einsum("oij,o,oi->oj", Jl, w, r))
+    Wob = jnp.einsum("oij,o,oik->ojk", Jp, w, Jl)  # (O,6,3)
+    Z = jnp.zeros((M, K, 6, 3)).at[prob.obs_lm, prob.obs_kf].add(Wob)
+    w_lm = jnp.zeros((M,)).at[prob.obs_lm].add(w)
+    cost, _ = _robust_cost(r, prob, active)
+    return Hpp, Hll, bp, bl, Z, w_lm, cost
+
+
+def schur_solve(Hpp, Hll, bp, bl, Z, w_lm, pose_fixed, lm_valid, lam):
+    """Damped pose-landmark Schur solve from assembled blocks.
+    Returns (dp (K,6), dl (M,3))."""
+    K = Hpp.shape[0]
+    Hpp_d = Hpp + (lam * jnp.maximum(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-3))[
+        :, :, None
+    ] * jnp.eye(6)
+    Hll_d = Hll + (lam * jnp.maximum(jnp.diagonal(Hll, axis1=1, axis2=2), 1e-3))[
+        :, :, None
+    ] * jnp.eye(3)
+    lm_seen = w_lm > 0
+    Hll_d = jnp.where(lm_seen[:, None, None], Hll_d, jnp.eye(3))
+    Vinv = jnp.linalg.inv(Hll_d)
+
+    ZV = jnp.einsum("mkab,mbc->mkac", Z, Vinv)
+    S_coup = jnp.einsum("mkac,mjbc->kajb", ZV, Z)
+    S = jnp.zeros((K, 6, K, 6))
+    diag_idx = jnp.arange(K)
+    S = S.at[diag_idx, :, diag_idx, :].add(Hpp_d)
+    S = S - S_coup
+    b_s = bp - jnp.einsum("mkac,mc->ka", ZV, bl)
+
+    free_f = (~pose_fixed).astype(S.dtype)
+    S = S * free_f[:, None, None, None] * free_f[None, None, :, None]
+    S = S.at[diag_idx, :, diag_idx, :].add((1.0 - free_f)[:, None, None] * jnp.eye(6))
+    b_s = b_s * free_f[:, None]
+
+    Sd = S.reshape(K * 6, K * 6) + 1e-6 * jnp.eye(K * 6)
+    dp = jnp.linalg.solve(Sd, b_s.reshape(-1)).reshape(K, 6)
+    dp = dp * free_f[:, None]
+    Wt_dp = jnp.einsum("mkab,ka->mb", Z, dp)
+    dl = jnp.einsum("mab,mb->ma", Vinv, bl - Wt_dp)
+    dl = dl * (lm_seen & lm_valid)[:, None]
+    return dp, dl
+
+
+def apply_update(R, t, xw, dp, dl):
+    dT = lie.se3_exp(dp)
+    R_new = jnp.einsum("kij,kjl->kil", dT.R, R)
+    t_new = jnp.einsum("kij,kj->ki", dT.R, t) + dT.t
+    return R_new, t_new, xw + dl
+
+
 @partial(jax.jit, static_argnames=("iters1", "iters2"))
 def bundle_adjust(
     cam: cam_models.Camera,
@@ -81,77 +161,14 @@ def bundle_adjust(
     M = prob.xw.shape[0]
 
     def lm_step(R, t, xw, inlier, lam):
-        r, xc, posd = _obs_residuals(cam, bf, R, t, xw, prob)
-        active = prob.obs_valid & inlier & posd & prob.lm_valid[prob.obs_lm]
-        chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
-        delta2 = jnp.where(prob.obs_is_stereo, CHI2_STEREO, CHI2_MONO)
-        w = jnp.where(active, _huber_weight(chi2, delta2) * prob.obs_inv_sigma2, 0.0)
-
-        # --- per-obs Jacobians
-        Jproj = jax.vmap(jax.jacfwd(lambda x: cam_models.stereo_project(cam, x, bf)))(xc)
-        Jproj = jnp.where(prob.obs_is_stereo[:, None, None], Jproj, Jproj.at[:, 2, :].set(0.0))
-        dxc_dxi = jnp.concatenate(
-            [jnp.broadcast_to(jnp.eye(3), (xc.shape[0], 3, 3)), -lie.hat(xc)], axis=-1
-        )  # (O,3,6)
-        Jp = -jnp.einsum("oij,ojk->oik", Jproj, dxc_dxi)  # (O,3,6)
-        Rk = R[prob.obs_kf]
-        Jl = -jnp.einsum("oij,ojk->oik", Jproj, Rk)  # (O,3,3) dxc/dxw = R
-
-        free = ~prob.pose_fixed  # (K,)
-        Jp = Jp * free[prob.obs_kf][:, None, None]
-
-        # --- normal-equation blocks via scatter-add
-        Hpp = jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(jnp.einsum("oij,o,oik->ojk", Jp, w, Jp))
-        Hll = jnp.zeros((M, 3, 3)).at[prob.obs_lm].add(jnp.einsum("oij,o,oik->ojk", Jl, w, Jl))
-        bp = jnp.zeros((K, 6)).at[prob.obs_kf].add(-jnp.einsum("oij,o,oi->oj", Jp, w, r))
-        bl = jnp.zeros((M, 3)).at[prob.obs_lm].add(-jnp.einsum("oij,o,oi->oj", Jl, w, r))
-        Wob = jnp.einsum("oij,o,oik->ojk", Jp, w, Jl)  # (O,6,3)
-        Z = jnp.zeros((M, K, 6, 3)).at[prob.obs_lm, prob.obs_kf].add(Wob)
-
-        # --- damping (multiplicative on block diagonals)
-        Hpp_d = Hpp + (lam * jnp.maximum(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-3))[
-            :, :, None
-        ] * jnp.eye(6)
-        Hll_d = Hll + (lam * jnp.maximum(jnp.diagonal(Hll, axis1=1, axis2=2), 1e-3))[
-            :, :, None
-        ] * jnp.eye(3)
-        # unobserved landmarks: identity so inverse is harmless
-        lm_seen = jnp.zeros((M,)).at[prob.obs_lm].add(w) > 0
-        Hll_d = jnp.where(lm_seen[:, None, None], Hll_d, jnp.eye(3))
-        Vinv = jnp.linalg.inv(Hll_d)
-
-        # --- Schur reduced camera system
-        ZV = jnp.einsum("mkab,mbc->mkac", Z, Vinv)  # (M,K,6,3)
-        S_coup = jnp.einsum("mkac,mjbc->kajb", ZV, Z)  # (K,6,K,6)
-        S = jnp.zeros((K, 6, K, 6))
-        diag_idx = jnp.arange(K)
-        S = S.at[diag_idx, :, diag_idx, :].add(Hpp_d)
-        S = S - S_coup
-        b_s = bp - jnp.einsum("mkac,mc->ka", ZV, bl)
-
-        # fixed poses: identity rows/cols
-        free_f = free.astype(S.dtype)
-        S = S * free_f[:, None, None, None] * free_f[None, None, :, None]
-        S = S.at[diag_idx, :, diag_idx, :].add(
-            (1.0 - free_f)[:, None, None] * jnp.eye(6)
+        Hpp, Hll, bp, bl, Z, w_lm, cost_old = build_normal_blocks(
+            cam, bf, R, t, xw, prob, inlier
         )
-        b_s = b_s * free_f[:, None]
+        dp, dl = schur_solve(
+            Hpp, Hll, bp, bl, Z, w_lm, prob.pose_fixed, prob.lm_valid, lam
+        )
+        R_new, t_new, xw_new = apply_update(R, t, xw, dp, dl)
 
-        Sd = S.reshape(K * 6, K * 6) + 1e-6 * jnp.eye(K * 6)
-        dp = jnp.linalg.solve(Sd, b_s.reshape(-1)).reshape(K, 6)
-        dp = dp * free_f[:, None]
-        # landmark back-substitution: dl = Vinv (bl - Z^T dp)
-        Wt_dp = jnp.einsum("mkab,ka->mb", Z, dp)
-        dl = jnp.einsum("mab,mb->ma", Vinv, bl - Wt_dp)
-        dl = dl * (lm_seen & prob.lm_valid)[:, None]
-
-        # --- candidate update
-        dT = lie.se3_exp(dp)
-        R_new = jnp.einsum("kij,kjl->kil", dT.R, R)
-        t_new = jnp.einsum("kij,kj->ki", dT.R, t) + dT.t
-        xw_new = xw + dl
-
-        cost_old, _ = _robust_cost(r, prob, active)
         r_new, _, posd_new = _obs_residuals(cam, bf, R_new, t_new, xw_new, prob)
         active_new = prob.obs_valid & inlier & posd_new & prob.lm_valid[prob.obs_lm]
         cost_new, _ = _robust_cost(r_new, prob, active_new)
