@@ -29,8 +29,9 @@ from orb_slam3_fast_tpu.map.worldmap import WorldMap
 from orb_slam3_fast_tpu.ops import extractor as ext
 from orb_slam3_fast_tpu.ops import matching as mat
 from orb_slam3_fast_tpu.ops import twoview
-from orb_slam3_fast_tpu.optim import pose_opt
+from orb_slam3_fast_tpu.optim import pnp, pose_opt
 from orb_slam3_fast_tpu.utils import lie
+from orb_slam3_fast_tpu.vocab import vocabulary as voc_mod
 
 # tracking states (Tracking.h:122-130)
 NOT_INITIALIZED = "NOT_INITIALIZED"
@@ -113,10 +114,16 @@ class Tracker:
         image_wh: tuple = (640, 480),
         world: Optional[WorldMap] = None,
         mapper=None,
+        voc=None,
+        kfdb=None,
+        map_id: int = 0,
     ):
         self.cam = cam
         self.cfg = cfg
         self.bf = float(bf)
+        self.voc = voc  # vocab.Vocabulary for place recognition (optional)
+        self.kfdb = kfdb  # vocab.KeyFrameDatabase (optional)
+        self.map_id = map_id
         self.wh = jnp.asarray(image_wh, dtype=jnp.float32)
         self.kp_cap = ext.total_capacity(cfg.extractor)
         self.world = world or WorldMap(kp_cap=self.kp_cap)
@@ -190,6 +197,12 @@ class Tracker:
             return None
         return self.last.R, self.last.t
 
+    def _index_kf(self, k: int, kp):
+        """Add keyframe k to the place-recognition database."""
+        if self.voc is not None and self.kfdb is not None:
+            _, _, bow = voc_mod.transform(self.voc, kp.desc, kp.valid)
+            self.kfdb.add(k, np.asarray(bow), map_id=self.map_id)
+
     # ------------------------------------------------------------------
     # initialization
     # ------------------------------------------------------------------
@@ -218,6 +231,7 @@ class Tracker:
         )
         obs_lm = np.full(self.kp_cap, -1, dtype=np.int32)
         obs_lm[slots] = ids
+        self._index_kf(k0, kp)
         self.last = FrameState(kp, ts, R0, t0, obs_lm, depth, right_u)
         self.ref_kf = k0
         self.state = OK
@@ -268,6 +282,8 @@ class Tracker:
             self.world.update_landmark_stats(ids)
         obs_lm = np.full(self.kp_cap, -1, dtype=np.int32)
         obs_lm[slots1] = ids
+        self._index_kf(k0, ref.kp)
+        self._index_kf(k1, kp)
         self.last = FrameState(kp, ts, self.world.kf_R[k1], self.world.kf_t[k1], obs_lm)
         self.ref_kf = k1
         self.velocity = lie.SE3.identity()
@@ -284,9 +300,15 @@ class Tracker:
         T_last = lie.SE3(jnp.asarray(last.R), jnp.asarray(last.t))
         T_pred = self.velocity.compose(T_last)
 
-        ok, T_est, obs_lm, n_inl = self._track_motion_model(kp, T_pred, last)
-        if not ok:
-            ok, T_est, obs_lm, n_inl = self._track_reference_kf(kp, T_last)
+        if self.state == OK:
+            ok, T_est, obs_lm, n_inl = self._track_motion_model(kp, T_pred, last)
+            if not ok:
+                ok, T_est, obs_lm, n_inl = self._track_reference_kf(kp, T_last)
+        else:
+            # RECENTLY_LOST: relocalization (Tracking.cc:2053-2078 visual case)
+            ok, T_est, obs_lm, n_inl = self._relocalize(kp)
+            if ok:
+                self.velocity = lie.SE3.identity()
 
         if ok:
             ok2, T_est, obs_lm, n_inl = self._track_local_map(kp, T_est, obs_lm)
@@ -397,6 +419,62 @@ class Tracker:
         T, obs_lm, n_inl = self._pose_opt_from_obs(kp, T_last, obs_lm)
         return n_inl >= self.cfg.min_motion_inliers, T, obs_lm, n_inl
 
+    def _relocalize(self, kp):
+        """Relocalization (Tracking.cc:3518-3676): KFDB candidates ->
+        descriptor match vs candidate KF landmarks -> PnP RANSAC ->
+        pose optimization.  The reference's MLPnP RANSAC loop becomes the
+        batched-hypothesis solver in optim/pnp.py."""
+        T0 = lie.SE3.identity()
+        if self.voc is None or self.kfdb is None:
+            return False, T0, None, 0
+        _, _, bow = voc_mod.transform(self.voc, kp.desc, kp.valid)
+        cands = self.kfdb.detect_reloc_candidates(np.asarray(bow), query_map=self.map_id)
+        for k in cands[:5]:
+            k = int(k)
+            has_lm = self.world.kf_obs[k] >= 0
+            idx, accept = mat.search_descriptors_mutual(
+                jnp.asarray(self.world.kf_desc[k]),
+                jnp.asarray(has_lm & self.world.kf_kp_valid[k]),
+                kp.desc,
+                kp.valid,
+                th=100,
+                ratio=0.75,
+            )
+            acc = np.asarray(accept)
+            if acc.sum() < 15:
+                continue
+            lm_ids = self.world.kf_obs[k][acc]
+            slots = np.asarray(idx)[acc]
+            n = self.kp_cap
+            xw = np.zeros((n, 3), np.float32)
+            uv = np.zeros((n, 2), np.float32)
+            inv_s2 = np.ones(n, np.float32)
+            valid = np.zeros(n, bool)
+            xw[slots] = self.world.lm_pos[lm_ids]
+            uv[slots] = np.asarray(kp.xy)[slots]
+            inv_s2[slots] = 1.0 / self.sigma2[np.asarray(kp.level)[slots]]
+            valid[slots] = self.world.lm_valid[lm_ids]
+            res = pnp.pnp_ransac(
+                self.cam,
+                jnp.asarray(xw),
+                jnp.asarray(uv),
+                jnp.asarray(inv_s2),
+                jnp.asarray(valid),
+                jax.random.PRNGKey(self.world.n_kf * 1315423911 + k),
+            )
+            if not bool(res.ok):
+                continue
+            obs_lm = np.full(self.kp_cap, -1, dtype=np.int32)
+            keep = np.asarray(res.inliers)[slots]
+            obs_lm[slots[keep]] = lm_ids[keep]
+            T_pnp = lie.SE3(jnp.asarray(res.R), jnp.asarray(res.t))
+            T, obs_out, n_inl = self._pose_opt_from_obs(kp, T_pnp, obs_lm)
+            if n_inl >= 20:  # reference accepts at >= 50 after re-search; the
+                # local-map pass that follows widens matches the same way
+                self.ref_kf = k
+                return True, T, obs_out, n_inl
+        return False, T0, None, 0
+
     def _local_landmark_ids(self) -> np.ndarray:
         """UpdateLocalKeyFrames/Points (Tracking.cc:3370/3341): landmarks of
         the reference KF's covisibility neighborhood."""
@@ -499,6 +577,9 @@ class Tracker:
         # stereo/RGB-D: create landmarks for close unmatched points
         if last.depth is not None:
             self._create_stereo_landmarks(k, last)
+        # place-recognition index (KeyFrameDatabase::add, the reference does
+        # this in LoopClosing; here at insertion)
+        self._index_kf(k, last.kp)
         self.ref_kf = k
         self.frames_since_kf = 0
         if self.mapper is not None:
