@@ -1,0 +1,382 @@
+"""Loop closing: place-recognition candidates -> Sim3 verification ->
+loop correction -> essential-graph optimization -> global BA.
+
+TPU-native replacement for the reference ``LoopClosing`` thread
+(``/root/reference/src/LoopClosing.cc``):
+
+* ``NewDetectCommonRegions`` (:345-578) -> :meth:`LoopCloser.process_keyframe`
+  (KeyFrameDatabase candidates + geometric verification + temporal
+  consistency counter),
+* ``DetectCommonRegionsFromBoW`` (:643-986: SearchByBoW -> Sim3Solver RANSAC
+  -> OptimizeSim3 -> guided projection gates 20/50/80) -> :meth:`_verify`
+  built on the batched solvers in ``optim/sim3.py``,
+* ``CorrectLoop`` (:1063-1345: Sim3 propagation over the covisible window,
+  duplicate fusion, OptimizeEssentialGraph, GBA thread) -> :meth:`_correct`
+  using ``optim/pose_graph.py`` and the mapper's BA.
+
+The reference runs this on its own std::thread with stop-flag handshakes;
+here the pipeline is synchronous per keyframe (the async host-thread variant
+wraps this class — state is all in ``WorldMap`` arrays, so a snapshot/version
+exchange replaces ``mMutexMapUpdate``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_fast_tpu.cameras import models as cam_models
+from orb_slam3_fast_tpu.map.worldmap import WorldMap
+from orb_slam3_fast_tpu.ops import matching as mat
+from orb_slam3_fast_tpu.optim import pose_graph as pg
+from orb_slam3_fast_tpu.optim import sim3 as sim3_mod
+from orb_slam3_fast_tpu.utils import lie
+from orb_slam3_fast_tpu.backend.mapper import _kf_keypoints, _search_proj
+
+
+@dataclass
+class LoopCloserConfig:
+    n_candidates: int = 3  # DetectNBestCandidates(.., 3) (LoopClosing.cc:519)
+    min_bow_matches: int = 20  # nBoWMatches (LoopClosing.cc:655)
+    min_sim3_inliers: int = 20  # nSim3Inliers after OptimizeSim3 (:658)
+    min_proj_matches: int = 50  # nProjMatches guided re-search (:657)
+    min_covis_edge: int = 30  # essential-graph covisibility weight (ref. 100)
+    temporal_gap: int = 10  # candidate must be >= this many KFs old
+    consecutive_required: int = 1  # reference needs 3 consecutive KF support
+    fix_scale: bool = False  # stereo/RGBD/inertial: 6-DoF instead of 7
+    run_gba: bool = True
+    gba_iters: tuple = (8, 12)
+    pose_graph_iters: int = 12
+
+
+class LoopCloser:
+    def __init__(self, cam, voc, kfdb, mapper, bf: float = 0.0,
+                 cfg: LoopCloserConfig = LoopCloserConfig(),
+                 sigma2: np.ndarray | None = None):
+        self.cam = cam
+        self.voc = voc
+        self.kfdb = kfdb
+        self.mapper = mapper
+        self.bf = float(bf)
+        self.cfg = cfg
+        self.sigma2 = sigma2 if sigma2 is not None else (1.2 ** (2 * np.arange(8))).astype(np.float32)
+        self.consec_count = 0
+        self.last_candidate = -1
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, world: WorldMap, k: int, map_id: int = 0) -> bool:
+        """One LoopClosing::Run iteration for keyframe k.  Returns True if a
+        loop was closed (the caller must refresh any cached poses)."""
+        if world.n_kf < self.cfg.temporal_gap + 2:
+            return False
+        bow = self.kfdb.bow[k]
+        covis = world.best_covisible(k, 30, min_shared=5)
+        # exclude the temporally-recent window too (a loop must be distant)
+        recent = np.arange(max(0, k - self.cfg.temporal_gap), world.n_kf)
+        exclude = np.unique(np.concatenate([covis, recent, [k]]))
+        groups = {
+            int(c): world.best_covisible(int(c), 10, min_shared=5)
+            for c in range(world.n_kf)
+            if world.kf_valid[c]
+        }
+        loop_c, _merge_c = self.kfdb.detect_n_best_candidates(
+            bow, exclude, self.cfg.n_candidates, covis_groups=groups, query_map=map_id
+        )
+        for c in loop_c:
+            c = int(c)
+            if not world.kf_valid[c]:
+                continue
+            out = self._verify(world, k, c)
+            if out is None:
+                continue
+            S_kc, n_inl = out
+            # temporal consistency (reference: 3 consecutive KFs, :345-578)
+            if self.last_candidate >= 0 and abs(c - self.last_candidate) <= 5:
+                self.consec_count += 1
+            else:
+                self.consec_count = 1
+            self.last_candidate = c
+            if self.consec_count >= self.cfg.consecutive_required:
+                self._correct(world, k, c, S_kc)
+                self.consec_count = 0
+                self.last_candidate = -1
+                self.n_loops_closed += 1
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _matched_pairs(self, world: WorldMap, k: int, c: int):
+        """Mutual descriptor match restricted to landmark-bearing keypoints
+        (SearchByBoW(KF,KF), ORBmatcher.cc:766-884 — our matcher is a full
+        Hamming matmul, so the FeatureVector node alignment is unnecessary)."""
+        has_k = (world.kf_obs[k] >= 0) & world.kf_kp_valid[k]
+        has_c = (world.kf_obs[c] >= 0) & world.kf_kp_valid[c]
+        idx, accept = mat.search_descriptors_mutual(
+            jnp.asarray(world.kf_desc[k]),
+            jnp.asarray(has_k),
+            jnp.asarray(world.kf_desc[c]),
+            jnp.asarray(has_c),
+            th=100,
+            ratio=0.9,
+        )
+        acc = np.asarray(accept)
+        slots_k = np.nonzero(acc)[0]
+        slots_c = np.asarray(idx)[slots_k]
+        lm_k = world.kf_obs[k, slots_k]
+        lm_c = world.kf_obs[c, slots_c]
+        good = world.lm_valid[lm_k] & world.lm_valid[lm_c]
+        return slots_k[good], slots_c[good], lm_k[good], lm_c[good]
+
+    def _verify(self, world: WorldMap, k: int, c: int):
+        """Geometric verification: Sim3 RANSAC + OptimizeSim3 + guided
+        projection gate.  Returns (S_kc, n_inliers) or None."""
+        cfg = self.cfg
+        slots_k, slots_c, lm_k, lm_c = self._matched_pairs(world, k, c)
+        if len(slots_k) < cfg.min_bow_matches:
+            return None
+        # camera-frame points for both KFs (Sim3Solver input, Sim3Solver.cc:66)
+        n = world.kp_cap
+        xc1 = np.zeros((n, 3), np.float32)
+        xc2 = np.zeros((n, 3), np.float32)
+        uv1 = np.zeros((n, 2), np.float32)
+        uv2 = np.zeros((n, 2), np.float32)
+        is1 = np.ones(n, np.float32)
+        is2 = np.ones(n, np.float32)
+        valid = np.zeros(n, bool)
+        m = len(slots_k)
+        xc1[:m] = world.lm_pos[lm_k] @ world.kf_R[k].T + world.kf_t[k]
+        xc2[:m] = world.lm_pos[lm_c] @ world.kf_R[c].T + world.kf_t[c]
+        uv1[:m] = world.kf_xy[k, slots_k]
+        uv2[:m] = world.kf_xy[c, slots_c]
+        is1[:m] = 1.0 / self.sigma2[world.kf_level[k, slots_k]]
+        is2[:m] = 1.0 / self.sigma2[world.kf_level[c, slots_c]]
+        valid[:m] = True
+        res = sim3_mod.sim3_ransac(
+            self.cam, self.cam,
+            jnp.asarray(xc1), jnp.asarray(xc2), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(is1), jnp.asarray(is2), jnp.asarray(valid),
+            jax.random.PRNGKey(k * 2654435761 + c),
+            fix_scale=cfg.fix_scale,
+        )
+        if not bool(res.ok):
+            return None
+        S, inl, n_inl = sim3_mod.optimize_sim3(
+            self.cam, self.cam, res.S12,
+            jnp.asarray(xc1), jnp.asarray(xc2), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(is1), jnp.asarray(is2), res.inliers,
+            fix_scale=cfg.fix_scale,
+        )
+        if int(n_inl) < cfg.min_sim3_inliers:
+            return None
+        # guided projection gate: project the loop-side local map through the
+        # corrected pose into KF k (SearchByProjection(KF, Scw), :406-506)
+        n_proj = self._guided_projection_count(world, k, c, S)
+        if n_proj < cfg.min_proj_matches:
+            return None
+        return S, int(n_inl)
+
+    def _guided_projection_count(self, world: WorldMap, k: int, c: int, S_kc) -> int:
+        window = np.unique(np.concatenate([[c], world.best_covisible(c, 10, min_shared=5)]))
+        lm_ids_raw = world.local_landmarks(window)
+        nb = world.kp_cap
+        if len(lm_ids_raw) == 0:
+            return 0
+        lm_ids = np.zeros(nb, dtype=np.int64)
+        take = min(len(lm_ids_raw), nb)
+        lm_ids[:take] = lm_ids_raw[:take]
+        lm_mask = np.zeros(nb, bool)
+        lm_mask[:take] = True
+        # S_cw maps world -> c-cam; corrected k-cam = S_kc * T_cw
+        T_cw = lie.Sim3(jnp.asarray(world.kf_R[c]), jnp.asarray(world.kf_t[c]), jnp.float32(1.0))
+        S_kw = S_kc.compose(T_cw)
+        xc = np.asarray(S_kw.apply(jnp.asarray(world.lm_pos[lm_ids])))
+        infront = xc[:, 2] > 0.05
+        uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xc)))
+        kp_k = _kf_keypoints(world, k)
+        dist = np.linalg.norm(world.lm_pos[lm_ids] - np.asarray(-S_kw.R.T @ (S_kw.t / S_kw.s)), axis=1)
+        ratio = np.maximum(world.lm_dmax[lm_ids] / np.maximum(dist, 1e-9), 1.0)
+        pred_level = np.clip(np.ceil(np.log(ratio) / np.log(1.2)).astype(np.int32), 0, 7)
+        scales8 = jnp.asarray((1.2 ** np.arange(8)).astype(np.float32))
+        idx, accept = _search_proj(
+            kp_k,
+            jnp.asarray(uv),
+            jnp.asarray(infront & world.lm_valid[lm_ids] & lm_mask),
+            jnp.asarray(world.lm_desc[lm_ids]),
+            jnp.asarray(pred_level),
+            scales8,
+            radius=8.0,
+            th_dist=100,
+            ratio=1.0,
+        )
+        return int(np.asarray(accept).sum())
+
+    # ------------------------------------------------------------------
+    def _correct(self, world: WorldMap, k: int, c: int, S_kc):
+        """CorrectLoop (LoopClosing.cc:1063-1345)."""
+        cfg = self.cfg
+        K = world.n_kf
+        # snapshot: current poses as Sim3 (s=1)
+        R_old = world.kf_R[:K].copy()
+        t_old = world.kf_t[:K].copy()
+        s_old = np.ones(K, np.float32)
+        # corrected pose of k: S_kw = S_kc * T_cw  (mg2oScw, :1095-1134)
+        S_kc_np = (np.asarray(S_kc.R), np.asarray(S_kc.t), float(S_kc.s))
+        S_kw_R = S_kc_np[0] @ R_old[c]
+        S_kw_t = S_kc_np[2] * (S_kc_np[0] @ t_old[c]) + S_kc_np[1]
+        S_kw_s = S_kc_np[2]
+        # propagate over k's covisible window (:1136-1218): S_nw' = S_nk * S_kw'
+        window = np.unique(np.concatenate([[k], world.best_covisible(k, 30, min_shared=5)]))
+        R_init = R_old.copy()
+        t_init = t_old.copy()
+        s_init = s_old.copy()
+        for n in window:
+            R_nk = R_old[n] @ R_old[k].T
+            t_nk = t_old[n] - R_nk @ t_old[k]
+            R_init[n] = R_nk @ S_kw_R
+            t_init[n] = S_kw_s * (R_nk @ S_kw_t) + t_nk
+            s_init[n] = S_kw_s
+        # correct window landmarks w.r.t. their anchoring window KF (:1164-1218)
+        win_lms = world.local_landmarks(window)
+        if len(win_lms):
+            anchor = np.full(len(win_lms), -1, np.int64)
+            lm_to_i = {int(l): i for i, l in enumerate(win_lms)}
+            for n in window:
+                obs = world.kf_obs[n]
+                for l in obs[obs >= 0]:
+                    i = lm_to_i.get(int(l))
+                    if i is not None and anchor[i] < 0:
+                        anchor[i] = n
+            ok = anchor >= 0
+            new_pos = np.asarray(pg.correct_landmarks(
+                jnp.asarray(world.lm_pos[win_lms[ok]]), jnp.asarray(anchor[ok]),
+                jnp.asarray(R_old), jnp.asarray(t_old), jnp.asarray(s_old),
+                jnp.asarray(R_init), jnp.asarray(t_init), jnp.asarray(s_init),
+            ))
+            world.lm_pos[win_lms[ok]] = new_pos
+        # write corrected window poses back as SE3 (T = [R, t/s], :1210-1217)
+        world.kf_R[window] = R_init[window]
+        world.kf_t[window] = t_init[window] / s_init[window][:, None]
+        # fuse duplicates: loop-side landmarks into the corrected window (:2261)
+        self._fuse_loop(world, k, c)
+        # essential graph (:1288-1306)
+        self._essential_graph(world, k, c, R_old, t_old, s_old, R_init, t_init, s_init)
+        # GBA (:1327-1334) — synchronous here
+        if cfg.run_gba:
+            kf_ids = np.nonzero(world.kf_valid[:K])[0]
+            self.mapper._run_ba(world, kf_ids, fixed=np.asarray([c]), iters=cfg.gba_iters)
+
+    def _fuse_loop(self, world: WorldMap, k: int, c: int):
+        """SearchAndFuse (:2261-2330): project loop-side landmarks into the
+        current window; replace duplicate landmarks (MapPoint::Replace)."""
+        window = np.unique(np.concatenate([[k], world.best_covisible(k, 10, min_shared=5)]))
+        loop_window = np.unique(np.concatenate([[c], world.best_covisible(c, 10, min_shared=5)]))
+        loop_lms_raw = world.local_landmarks(loop_window)
+        nb = world.kp_cap
+        if len(loop_lms_raw) == 0:
+            return
+        lm_ids = np.zeros(nb, dtype=np.int64)
+        take = min(len(loop_lms_raw), nb)
+        lm_ids[:take] = loop_lms_raw[:take]
+        lm_mask = np.zeros(nb, bool)
+        lm_mask[:take] = True
+        scales8 = jnp.asarray((1.2 ** np.arange(8)).astype(np.float32))
+        for n in window:
+            xc = world.lm_pos[lm_ids] @ world.kf_R[n].T + world.kf_t[n]
+            infront = xc[:, 2] > 0.05
+            uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xc)))
+            dist = np.linalg.norm(world.lm_pos[lm_ids] - world.camera_center(n), axis=1)
+            ratio = np.maximum(world.lm_dmax[lm_ids] / np.maximum(dist, 1e-9), 1.0)
+            pred_level = np.clip(np.ceil(np.log(ratio) / np.log(1.2)).astype(np.int32), 0, 7)
+            idx, accept = _search_proj(
+                _kf_keypoints(world, n),
+                jnp.asarray(uv),
+                jnp.asarray(infront & world.lm_valid[lm_ids] & lm_mask),
+                jnp.asarray(world.lm_desc[lm_ids]),
+                jnp.asarray(pred_level),
+                scales8,
+                radius=4.0,
+                th_dist=50,
+                ratio=1.0,
+            )
+            acc = np.asarray(accept)
+            if not acc.any():
+                continue
+            tgt = np.asarray(idx)[acc]
+            src = lm_ids[acc]
+            existing = world.kf_obs[n, tgt]
+            fresh = existing < 0
+            world.add_observations(n, tgt[fresh], src[fresh])
+            dup = (~fresh) & (existing != src)
+            # Replace(): the loop landmark (older, loop-verified) wins (:1245)
+            obs = world.kf_obs[: world.n_kf]
+            for l_loop, l_cur in zip(src[dup], existing[dup]):
+                obs[obs == l_cur] = l_loop
+                world.lm_valid[l_cur] = False
+                world.lm_n_obs[l_loop] = (obs == l_loop).sum()
+
+    def _essential_graph(self, world, k, c, R_old, t_old, s_old, R_init, t_init, s_init):
+        """OptimizeEssentialGraph (Optimizer.cc:1518-1827) over the whole map:
+        temporal-chain (spanning-tree stand-in) + strong-covisibility +
+        loop edges; measurements from pre-correction poses, initial values
+        post-correction, loop-candidate vertex fixed."""
+        cfg = self.cfg
+        K = world.n_kf
+        pairs = []  # (i, j)
+        for i in range(1, K):
+            pairs.append((i, i - 1))  # temporal chain = spanning tree analogue
+        counts_cache = {}
+        for i in range(K):
+            ci = world.covisibility_counts(i)
+            for j in np.nonzero(ci >= cfg.min_covis_edge)[0]:
+                if j < i - 1:  # chain already covers (i, i-1)
+                    pairs.append((i, int(j)))
+        pairs.append((k, c))  # the loop edge
+        pairs = list(dict.fromkeys(pairs))
+        E = int(2 ** np.ceil(np.log2(max(len(pairs), 8))))
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        mR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+        mt = np.zeros((E, 3), np.float32)
+        ms = np.ones(E, np.float32)
+        ev = np.zeros(E, bool)
+        for e, (i, j) in enumerate(pairs):
+            ei[e], ej[e] = i, j
+            ev[e] = True
+            if (i, j) == (k, c):
+                # loop edge: the verified Sim3 measurement S_kc
+                # S_kc = S_kw_init * S_cw_old^-1
+                R = R_init[k] @ R_old[c].T
+                mR[e] = R
+                mt[e] = t_init[k] - s_init[k] * (R @ t_old[c])
+                ms[e] = s_init[k]
+            else:
+                R = R_old[i] @ R_old[j].T
+                mR[e] = R
+                mt[e] = t_old[i] - R @ t_old[j]
+                ms[e] = 1.0
+        fixed = np.zeros(K, bool)
+        fixed[c] = True
+        g = pg.Sim3Graph(
+            R=jnp.asarray(R_init[:K]), t=jnp.asarray(t_init[:K]), s=jnp.asarray(s_init[:K]),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt), meas_s=jnp.asarray(ms),
+            edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed), edge_w=jnp.ones(E),
+        )
+        Rn, tn, sn = pg.optimize_sim3_graph(g, iters=cfg.pose_graph_iters)
+        Rn, tn, sn = np.asarray(Rn), np.asarray(tn), np.asarray(sn)
+        # correct all landmarks with their reference KF's Sim3 delta (:1780)
+        lm_ids = np.nonzero(world.lm_valid[: world.n_lm])[0]
+        if len(lm_ids):
+            ref = world.lm_first_kf[lm_ids].astype(np.int64)
+            ref = np.clip(ref, 0, K - 1)
+            world.lm_pos[lm_ids] = np.asarray(pg.correct_landmarks(
+                jnp.asarray(world.lm_pos[lm_ids]), jnp.asarray(ref),
+                jnp.asarray(R_init[:K]), jnp.asarray(t_init[:K]), jnp.asarray(s_init[:K]),
+                jnp.asarray(Rn), jnp.asarray(tn), jnp.asarray(sn),
+            ))
+        # write back poses: T_cw = [R, t/s] (Optimizer.cc:1757-1779)
+        world.kf_R[:K] = Rn
+        world.kf_t[:K] = tn / sn[:, None]

@@ -53,6 +53,14 @@ class TrackerConfig(NamedTuple):
     max_recently_lost: int = 20  # frames before LOST
     th_depth: float = 40.0  # stereo close-point threshold (x baseline)
     max_stereo_lm_per_kf: int = 350
+    # Use u_r disparity residuals in per-frame pose optimization (the
+    # reference's EdgeStereo, Optimizer.cc:904-960).  Default OFF: each
+    # keypoint's L/R detection pair carries a PERSISTENT subpixel offset
+    # (detector quantization), so the disparity error is correlated across
+    # frames and biases the pose instead of averaging out — measured 2-4x
+    # ATE degradation on synthetic stereo.  Landmark depths still use the
+    # (subpixel-refined) disparities; revisit with level-aware SAD refine.
+    use_stereo_pose_edges: bool = False
 
 
 @dataclass
@@ -116,6 +124,7 @@ class Tracker:
         mapper=None,
         voc=None,
         kfdb=None,
+        loopcloser=None,
         map_id: int = 0,
     ):
         self.cam = cam
@@ -123,6 +132,7 @@ class Tracker:
         self.bf = float(bf)
         self.voc = voc  # vocab.Vocabulary for place recognition (optional)
         self.kfdb = kfdb  # vocab.KeyFrameDatabase (optional)
+        self.loopcloser = loopcloser  # backend.loopcloser.LoopCloser (optional)
         self.map_id = map_id
         self.wh = jnp.asarray(image_wh, dtype=jnp.float32)
         self.kp_cap = ext.total_capacity(cfg.extractor)
@@ -144,6 +154,15 @@ class Tracker:
         self.stats = {"matches": [], "inliers": []}
 
     # ------------------------------------------------------------------
+    def grab_imu(self, imu):
+        """Queue IMU samples arriving before the next frame
+        (Tracking::GrabImuData, Tracking.cc:1617-1628).  Each sample is
+        (ts, ax, ay, az, wx, wy, wz)."""
+        if not hasattr(self, "imu_queue"):
+            self.imu_queue = []
+        self.imu_queue.extend(np.asarray(imu, dtype=np.float64).reshape(-1, 7))
+
+    # ------------------------------------------------------------------
     def process_mono(self, img: np.ndarray, ts: float):
         kp = ext.extract(jnp.asarray(img, dtype=jnp.float32), self.cfg.extractor)
         return self._track(kp, ts, depth=None, right_u=None)
@@ -157,13 +176,18 @@ class Tracker:
         sm = _stereo_match(
             kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1)
         )
-        # NOTE: SAD subpixel refinement (stereo_subpixel_refine) was measured
-        # to ADD ~0.2px pixel-locking bias here — both keypoint sets share
-        # the same detector quantization, so the raw Hamming disparity is
-        # already unbiased; keep it.
-        return self._track(
-            kp_l, ts, depth=np.asarray(sm.depth), right_u=np.asarray(sm.right_u)
-        )
+        # SAD subpixel refinement (Frame::ComputeStereoMatches correlation
+        # stage): integer keypoint-to-keypoint disparities carry ~0.3px MAD
+        # noise AND a measured ~+0.6px systematic bias on synthetic scenes —
+        # a 3% depth error that warps the whole stereo map; the parabola-fit
+        # refinement removes the bias and halves the noise.
+        ru, ok = _stereo_refine(il, ir, kp_l.xy, sm.right_u, sm.valid)
+        ru_np = np.asarray(ru)
+        ok_np = np.asarray(ok) & np.asarray(sm.valid)
+        disp = np.asarray(kp_l.xy)[:, 0] - ru_np
+        depth = np.where(ok_np & (disp > 0.1), self.bf / np.maximum(disp, 0.1), -1.0)
+        ru_np = np.where(depth > 0, ru_np, -1.0)
+        return self._track(kp_l, ts, depth=depth.astype(np.float32), right_u=ru_np.astype(np.float32))
 
     def process_rgbd(self, img: np.ndarray, depth: np.ndarray, ts: float):
         """RGB-D: depth sampled at keypoint locations (ComputeStereoFromRGBD,
@@ -189,8 +213,36 @@ class Tracker:
             ok = self._track_frame(kp, ts, depth, right_u)
             result = (self.state, self._cur_pose())
         if self.last is not None:
-            self.trajectory.append((ts, self.last.R.copy(), self.last.t.copy()))
+            # reference-relative trajectory log (Tracking.cc:2268-2287):
+            # store T_cur_ref so loop/BA corrections to keyframes propagate to
+            # every past frame at save time (System::SaveTrajectoryTUM:579)
+            r = self.ref_kf
+            if r >= 0:
+                R_ref, t_ref = self.world.kf_R[r], self.world.kf_t[r]
+                R_rel = self.last.R @ R_ref.T
+                t_rel = self.last.t - R_rel @ t_ref
+            else:
+                R_rel, t_rel = self.last.R.copy(), self.last.t.copy()
+            self.trajectory.append(
+                (ts, R_rel, t_rel, r, self.state == OK or self.state == NOT_INITIALIZED)
+            )
         return result
+
+    def trajectory_world(self):
+        """Recover absolute per-frame poses T_cw by composing the logged
+        relative pose with the CURRENT (corrected) reference-KF pose
+        (System::SaveTrajectoryEuRoC composition, System.cc:748-785).
+        Returns list of (ts, R, t, ok)."""
+        out = []
+        for ts, R_rel, t_rel, r, ok in self.trajectory:
+            if r >= 0:
+                R_ref, t_ref = self.world.kf_R[r], self.world.kf_t[r]
+                R = R_rel @ R_ref
+                t = R_rel @ t_ref + t_rel
+            else:
+                R, t = R_rel, t_rel
+            out.append((ts, R, t, ok))
+        return out
 
     def _cur_pose(self):
         if self.last is None:
@@ -297,6 +349,11 @@ class Tracker:
     # ------------------------------------------------------------------
     def _track_frame(self, kp, ts, depth, right_u) -> bool:
         last = self.last
+        # current-frame stereo measurements for pose optimization (the
+        # reference builds EdgeStereo for every keypoint with mvuRight >= 0,
+        # Optimizer.cc:904-960); mono-only pose opt on stereo frames leaves
+        # depth constrained only through landmark positions and drifts
+        self._cur_right_u = right_u
         T_last = lie.SE3(jnp.asarray(last.R), jnp.asarray(last.t))
         T_pred = self.velocity.compose(T_last)
 
@@ -317,9 +374,11 @@ class Tracker:
         if not ok:
             self.lost_count += 1
             self.state = RECENTLY_LOST if self.lost_count < self.cfg.max_recently_lost else LOST
-            # keep predicted pose so RECENTLY_LOST frames still log a pose
+            # hold the LAST good pose while lost (the reference only advances
+            # it via IMU prediction, Tracking.cc:1966-1977; compounding the
+            # stale velocity every lost frame diverges to overflow)
             self.last = FrameState(
-                kp, ts, np.asarray(T_pred.R), np.asarray(T_pred.t),
+                kp, ts, last.R.copy(), last.t.copy(),
                 np.full(self.kp_cap, -1, np.int32), depth, right_u,
             )
             return False
@@ -352,6 +411,11 @@ class Tracker:
         lvl = np.asarray(kp.level)
         inv_s2[slots] = 1.0 / self.sigma2[lvl[slots]]
         valid[slots] = True
+        ru = getattr(self, "_cur_right_u", None) if self.cfg.use_stereo_pose_edges else None
+        if ru is not None and self.bf > 0:
+            has_ru = ru[slots] > 0
+            uv[slots, 2] = np.where(has_ru, ru[slots], -1.0)
+            stereo[slots] = has_ru
         obs = pose_opt.PoseObs(
             xw=jnp.asarray(xw),
             uv=jnp.asarray(uv),
@@ -584,7 +648,15 @@ class Tracker:
         self.frames_since_kf = 0
         if self.mapper is not None:
             self.mapper.process_new_keyframe(self.world, k)
-            # tracking continues from the (possibly BA-adjusted) keyframe pose
+        if self.loopcloser is not None:
+            closed = self.loopcloser.process_keyframe(self.world, k, map_id=self.map_id)
+            if closed:
+                # loop correction rebases tracking (the reference does this via
+                # mMutexMapUpdate + change index, Tracking.cc:1884-1891): the
+                # motion model is invalid across the jump
+                self.velocity = lie.SE3.identity()
+        if self.mapper is not None or self.loopcloser is not None:
+            # tracking continues from the (possibly BA/loop-adjusted) KF pose
             self.last.R = self.world.kf_R[k].copy()
             self.last.t = self.world.kf_t[k].copy()
 

@@ -1,0 +1,339 @@
+"""Visual-inertial tracking front-end.
+
+TPU-native replacement for the reference's IMU_MONOCULAR/IMU_STEREO modes of
+``Tracking`` (``/root/reference/src/Tracking.cc``):
+
+* ``GrabImuData`` + ``PreintegrateIMU`` (:1617-1733) -> per-frame batched
+  ``lax.scan`` preintegration (imu/preintegration.py) over a padded
+  measurement bucket,
+* ``PredictStateIMU`` (:1734-1792) -> ``preintegration.predict_state``,
+* visual-inertial pose tracking
+  (``PoseInertialOptimizationLastKeyFrame/LastFrame``, Optimizer.cc:4544) ->
+  ``optim.inertial.pose_inertial_optimization``,
+* ``LocalMapping::InitializeIMU`` (:1154-1418) -> ``initialize_imu`` here:
+  inertial-only gravity/scale/velocity/bias solve + ``ApplyScaledRotation``,
+* ``LocalInertialBA`` (Optimizer.cc:2426) -> ``optim.vi_ba.vi_bundle_adjust``
+  over the temporal keyframe window.
+
+The body state lives on the IMU frame; ``T_cb`` (body -> camera) couples it
+to the visual map (ImuCamPose, G2oTypes.h:78-153).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_fast_tpu.frontend.tracker import (
+    OK,
+    FrameState,
+    Tracker,
+    TrackerConfig,
+)
+from orb_slam3_fast_tpu.imu import preintegration as pre
+from orb_slam3_fast_tpu.map.worldmap import WorldMap
+from orb_slam3_fast_tpu.optim import imu_init, inertial, pose_opt, vi_ba
+from orb_slam3_fast_tpu.utils import lie
+
+
+class InertialConfig(NamedTuple):
+    # InitializeIMU gates (LocalMapping.cc:228-233: >=10 KFs and 2 s of data)
+    init_min_kfs: int = 10
+    init_min_time: float = 2.0
+    viba_window: int = 10  # LocalInertialBA temporal window (Opt.cc:2481)
+    viba_obs_cap: int = 8192
+    viba_lm_cap: int = 2048
+    imu_bucket: int = 64  # padded per-frame IMU sample capacity
+    fix_scale: bool = False  # stereo-inertial: scale known
+
+
+def _body_from_camera(T_cb: lie.SE3, R_cw, t_cw):
+    """T_cw -> (R_wb, p_wb): T_bw = T_cb^-1 T_cw."""
+    T_bw = T_cb.inverse().compose(lie.SE3(jnp.asarray(R_cw), jnp.asarray(t_cw)))
+    R_wb = jnp.swapaxes(T_bw.R, -1, -2)
+    p_wb = -jnp.einsum("...ij,...j->...i", R_wb, T_bw.t)
+    return R_wb, p_wb
+
+
+def _camera_from_body(T_cb: lie.SE3, R_wb, p_wb):
+    """(R_wb, p_wb) -> T_cw = T_cb T_bw."""
+    R_bw = jnp.swapaxes(R_wb, -1, -2)
+    t_bw = -jnp.einsum("...ij,...j->...i", R_bw, p_wb)
+    T = T_cb.compose(lie.SE3(R_bw, t_bw))
+    return T.R, T.t
+
+
+class InertialTracker(Tracker):
+    """Tracker with an IMU channel.  Same host orchestration; prediction and
+    pose refinement use the inertial factors once the IMU is initialized."""
+
+    def __init__(self, *args, T_bc=None, noise: pre.ImuNoise,
+                 icfg: InertialConfig = InertialConfig(), **kwargs):
+        super().__init__(*args, **kwargs)
+        # T_bc: camera -> body (the reference YAML's IMU.T_b_c1).
+        if T_bc is None:
+            T_bc = np.eye(4)
+        T_bc = np.asarray(T_bc, dtype=np.float32)
+        self.T_cb = lie.SE3(jnp.asarray(T_bc[:3, :3]), jnp.asarray(T_bc[:3, 3])).inverse()
+        self.noise = noise
+        self.icfg = icfg
+        self.imu_queue: list = []
+        self.last_imu_ts: float | None = None
+        self.frame_preint: Optional[pre.Preintegrated] = None  # last->current frame
+        self.kf_preint: Optional[pre.Preintegrated] = None  # last KF -> current
+        self.cur_bias = jnp.zeros(6)
+        self.cur_vel = jnp.zeros(3)
+        self.first_imu_frame_ts: float | None = None
+
+    # ------------------------------------------------------------------
+    def _preintegrate_frame(self, ts: float):
+        """PreintegrateIMU (Tracking.cc:1630-1733): consume queued samples up
+        to the frame timestamp into the frame & keyframe windows."""
+        if not hasattr(self, "imu_queue"):
+            self.imu_queue = []
+        take = [m for m in self.imu_queue if m[0] <= ts + 1e-9]
+        self.imu_queue = [m for m in self.imu_queue if m[0] > ts + 1e-9]
+        nb = self.icfg.imu_bucket
+        acc = np.zeros((nb, 3), np.float32)
+        gyr = np.zeros((nb, 3), np.float32)
+        dts = np.zeros(nb, np.float32)
+        val = np.zeros(nb, bool)
+        t_prev = self.last_imu_ts if self.last_imu_ts is not None else (take[0][0] if take else ts)
+        for i, m in enumerate(take[:nb]):
+            acc[i] = m[1:4]
+            gyr[i] = m[4:7]
+            dts[i] = max(m[0] - t_prev, 0.0)
+            val[i] = True
+            t_prev = m[0]
+        # close the window at the frame timestamp (boundary interpolation is
+        # approximated by extending the last sample, Tracking.cc:1681-1717)
+        if take and ts > t_prev:
+            i = min(len(take), nb - 1)
+            acc[i] = take[-1][1:4]
+            gyr[i] = take[-1][4:7]
+            dts[i] = ts - t_prev
+            val[i] = True
+        self.last_imu_ts = ts
+        if not val.any():
+            self.frame_preint = None
+            return
+        fp = pre.preintegrate(
+            jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+            self.cur_bias, self.noise, valid=jnp.asarray(val),
+        )
+        self.frame_preint = fp
+        if self.kf_preint is None:
+            self.kf_preint = fp
+        else:
+            self.kf_preint = pre.merge(
+                self.kf_preint, jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
+                self.noise, valid=jnp.asarray(val),
+            )
+
+    # ------------------------------------------------------------------
+    def _track(self, kp, ts, depth, right_u):
+        self._preintegrate_frame(ts)
+        if self.first_imu_frame_ts is None:
+            self.first_imu_frame_ts = ts
+        was_init = self.state == "NOT_INITIALIZED"
+        out = super()._track(kp, ts, depth, right_u)
+        if was_init and self.state == OK:
+            # visual initialization just created the first keyframe(s)
+            # directly (not via _create_keyframe): the accumulated KF window
+            # must restart here or the first stored preintegration would span
+            # the whole pre-init sequence and poison the IMU init solve
+            self.kf_preint = None
+        return out
+
+    def _track_frame(self, kp, ts, depth, right_u) -> bool:
+        # IMU prediction replaces the constant-velocity model once initialized
+        if self.world.imu_initialized and self.frame_preint is not None and self.last is not None:
+            R_wb, p_wb = _body_from_camera(self.T_cb, self.last.R, self.last.t)
+            R2, p2, v2 = pre.predict_state(R_wb, p_wb, self.cur_vel, self.frame_preint, self.cur_bias)
+            Rc, tc = _camera_from_body(self.T_cb, R2, p2)
+            T_last = lie.SE3(jnp.asarray(self.last.R), jnp.asarray(self.last.t))
+            self.velocity = lie.SE3(Rc, tc).compose(T_last.inverse())
+            self._pred_vel = v2
+        return super()._track_frame(kp, ts, depth, right_u)
+
+    # ------------------------------------------------------------------
+    def _pose_opt_from_obs(self, kp, T0, obs_lm, depth=None):
+        """Visual-inertial pose optimization once the IMU is initialized
+        (PoseInertialOptimizationLastFrame, Optimizer.cc:4933); visual-only
+        otherwise."""
+        if not (self.world.imu_initialized and self.frame_preint is not None and self.last is not None):
+            return super()._pose_opt_from_obs(kp, T0, obs_lm, depth)
+        slots = np.nonzero(obs_lm >= 0)[0]
+        n = self.kp_cap
+        xw = np.zeros((n, 3), np.float32)
+        uv = np.full((n, 3), -1.0, np.float32)
+        valid = np.zeros(n, bool)
+        stereo = np.zeros(n, bool)
+        inv_s2 = np.ones(n, np.float32)
+        xw[slots] = self.world.lm_pos[obs_lm[slots]]
+        uv[slots, :2] = np.asarray(kp.xy)[slots]
+        inv_s2[slots] = 1.0 / self.sigma2[np.asarray(kp.level)[slots]]
+        valid[slots] = True
+        ru = getattr(self, "_cur_right_u", None) if self.cfg.use_stereo_pose_edges else None
+        if ru is not None and self.bf > 0:
+            has_ru = ru[slots] > 0
+            uv[slots, 2] = np.where(has_ru, ru[slots], -1.0)
+            stereo[slots] = has_ru
+        obs = inertial.VIObs(
+            xw=jnp.asarray(xw), uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
+            is_stereo=jnp.asarray(stereo), valid=jnp.asarray(valid),
+        )
+        R_prev, p_prev = _body_from_camera(self.T_cb, self.last.R, self.last.t)
+        s_prev = inertial.BodyState(R_prev, p_prev, self.cur_vel, self.cur_bias)
+        R0, p0 = _body_from_camera(self.T_cb, np.asarray(T0.R), np.asarray(T0.t))
+        v0 = getattr(self, "_pred_vel", self.cur_vel)
+        s0 = inertial.BodyState(R0, p0, v0, self.cur_bias)
+        state, inlier, n_inl = inertial.pose_inertial_optimization(
+            self.cam, jnp.float32(self.bf), self.T_cb, s_prev, self.frame_preint, s0, obs
+        )
+        self.cur_vel = state.v
+        self.cur_bias = state.bias
+        Rc, tc = _camera_from_body(self.T_cb, state.R, state.p)
+        inl = np.asarray(inlier)
+        obs_out = obs_lm.copy()
+        obs_out[~inl] = -1
+        return lie.SE3(Rc, tc), obs_out, int(n_inl)
+
+    # ------------------------------------------------------------------
+    def _create_keyframe(self):
+        k_before = self.world.n_kf
+        super()._create_keyframe()
+        k = self.world.n_kf - 1
+        if k < k_before:
+            return
+        # store the KF-to-KF preintegration window + inertial state
+        if self.kf_preint is not None and k > 0:
+            self.world.kf_preint[k] = self.kf_preint
+        self.world.kf_vel[k] = np.asarray(self.cur_vel)
+        self.world.kf_bias[k] = np.asarray(self.cur_bias)
+        self.kf_preint = None
+        # IMU initialization stages (LocalMapping::InitializeIMU)
+        if not self.world.imu_initialized:
+            self._try_initialize_imu()
+        elif len(self.world.kf_preint) >= 2:
+            self._local_inertial_ba(k)
+
+    # ------------------------------------------------------------------
+    def _try_initialize_imu(self):
+        w = self.world
+        icfg = self.icfg
+        ks = [k for k in range(1, w.n_kf) if k in w.kf_preint]
+        if len(ks) + 1 < icfg.init_min_kfs:
+            return
+        span = w.kf_ts[ks[-1]] - w.kf_ts[ks[0] - 1]
+        if span < icfg.init_min_time:
+            return
+        chain = [ks[0] - 1] + ks  # consecutive KF ids
+        R_wb, p_wb = _body_from_camera(
+            self.T_cb, jnp.asarray(w.kf_R[chain]), jnp.asarray(w.kf_t[chain])
+        )
+        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *[w.kf_preint[k] for k in ks])
+        init = imu_init.inertial_only_optimization(
+            R_wb, p_wb, preints, fix_scale=icfg.fix_scale
+        )
+        s = float(init.scale)
+        if not (0.1 < s < 10.0) or not np.isfinite(s):
+            return
+        R_gw, s = imu_init.gravity_alignment_transform(init)
+        w.apply_scaled_rotation(np.asarray(R_gw), float(s))
+        # velocities were estimated in the OLD world frame; transform them too
+        vel = float(s) * (np.asarray(init.vel) @ np.asarray(R_gw).T)
+        w.kf_vel[chain] = vel
+        w.kf_bias[: w.n_kf] = np.asarray(init.bias)
+        self.cur_bias = jnp.asarray(init.bias)
+        self.cur_vel = jnp.asarray(vel[-1])
+        # rebase the tracker's cached pose/velocity onto the transformed world
+        if self.last is not None:
+            self.last.R = self.last.R @ np.asarray(R_gw).T
+            self.last.t = float(s) * self.last.t
+        self.velocity = lie.SE3.identity()
+        w.imu_initialized = True
+        # full inertial BA over the chain (FullInertialBA, LocalMapping.cc:1340)
+        self._local_inertial_ba(w.n_kf - 1, window=len(chain))
+
+    # ------------------------------------------------------------------
+    def _local_inertial_ba(self, k: int, window: int | None = None):
+        """LocalInertialBA (Optimizer.cc:2426): sliding temporal window of
+        body states chained by preintegration edges + their landmarks."""
+        w = self.world
+        icfg = self.icfg
+        win = window or icfg.viba_window
+        chain = [j for j in range(max(1, k - win + 1), k + 1) if j in w.kf_preint]
+        if len(chain) < 2:
+            return
+        first = chain[0] - 1
+        kf_ids = np.asarray([first] + chain)
+        K = len(kf_ids)
+        R_wb, p_wb = _body_from_camera(
+            self.T_cb, jnp.asarray(w.kf_R[kf_ids]), jnp.asarray(w.kf_t[kf_ids])
+        )
+        lm_ids = w.local_landmarks(kf_ids)
+        if len(lm_ids) > icfg.viba_lm_cap:
+            lm_ids = lm_ids[: icfg.viba_lm_cap]
+        M = int(2 ** np.ceil(np.log2(max(len(lm_ids), 64))))
+        obs_kf, obs_lm, slots = w.observations_of(lm_ids, kf_ids)
+        if len(obs_kf) == 0:
+            return
+        if len(obs_kf) > icfg.viba_obs_cap:
+            sel = np.random.default_rng(0).choice(len(obs_kf), icfg.viba_obs_cap, replace=False)
+            obs_kf, obs_lm, slots = obs_kf[sel], obs_lm[sel], slots[sel]
+        O = int(2 ** np.ceil(np.log2(max(len(obs_kf), 256))))
+        lm_pad = np.zeros(M, np.int64)
+        lm_pad[: len(lm_ids)] = lm_ids
+        lm_valid = np.zeros(M, bool)
+        lm_valid[: len(lm_ids)] = w.lm_valid[lm_ids]
+        o_kf = np.zeros(O, np.int32)
+        o_lm = np.zeros(O, np.int32)
+        o_uv = np.full((O, 3), -1.0, np.float32)
+        o_is2 = np.ones(O, np.float32)
+        o_st = np.zeros(O, bool)
+        o_val = np.zeros(O, bool)
+        n_o = len(obs_kf)
+        o_kf[:n_o] = obs_kf
+        o_lm[:n_o] = obs_lm
+        kf_sel = kf_ids[obs_kf]
+        o_uv[:n_o, :2] = w.kf_xy[kf_sel, slots]
+        ru = w.kf_right_u[kf_sel, slots]
+        use_st = (ru > 0) & (self.bf > 0)
+        o_uv[:n_o, 2] = np.where(use_st, ru, -1.0)
+        o_st[:n_o] = use_st
+        o_is2[:n_o] = 1.0 / self.sigma2[w.kf_level[kf_sel, slots]]
+        o_val[:n_o] = True
+        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *[w.kf_preint[j] for j in chain])
+        fixed = np.zeros(K, bool)
+        fixed[0] = True  # fixed predecessor (Opt.cc:2461-2480)
+        prob = vi_ba.VIBAProblem(
+            R_wb=R_wb, p_wb=p_wb,
+            v_w=jnp.asarray(w.kf_vel[kf_ids]), bias=jnp.asarray(w.kf_bias[kf_ids]),
+            state_fixed=jnp.asarray(fixed),
+            xw=jnp.asarray(w.lm_pos[lm_pad]), lm_valid=jnp.asarray(lm_valid),
+            obs_kf=jnp.asarray(o_kf), obs_lm=jnp.asarray(o_lm), obs_uv=jnp.asarray(o_uv),
+            obs_inv_sigma2=jnp.asarray(o_is2), obs_is_stereo=jnp.asarray(o_st),
+            obs_valid=jnp.asarray(o_val),
+            edge_i=jnp.arange(K - 1, dtype=jnp.int32),
+            edge_j=jnp.arange(1, K, dtype=jnp.int32),
+            edge_valid=jnp.ones(K - 1, bool),
+            preint=preints,
+        )
+        R2, p2, v2, b2, xw2, inl = vi_ba.vi_bundle_adjust(
+            self.cam, jnp.float32(self.bf), self.T_cb, prob
+        )
+        Rc, tc = _camera_from_body(self.T_cb, R2, p2)
+        free = ~fixed
+        w.kf_R[kf_ids[free]] = np.asarray(Rc)[free]
+        w.kf_t[kf_ids[free]] = np.asarray(tc)[free]
+        w.kf_vel[kf_ids] = np.asarray(v2)
+        w.kf_bias[kf_ids] = np.asarray(b2)
+        w.lm_pos[lm_ids] = np.asarray(xw2)[: len(lm_ids)]
+        self.cur_vel = jnp.asarray(w.kf_vel[kf_ids[-1]])
+        self.cur_bias = jnp.asarray(w.kf_bias[kf_ids[-1]])
+        # tracking continues from the adjusted newest KF
+        self.last.R = w.kf_R[kf_ids[-1]].copy()
+        self.last.t = w.kf_t[kf_ids[-1]].copy()

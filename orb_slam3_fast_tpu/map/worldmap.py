@@ -47,6 +47,11 @@ class WorldMap:
         self.kf_right_u = np.full((K, N), -1.0, dtype=np.float32)
         # observations: landmark id per keypoint slot (-1 = none)
         self.kf_obs = np.full((K, N), -1, dtype=np.int32)
+        # inertial per-KF state (KeyFrame mVw / mImuBias; zero until IMU init)
+        self.kf_vel = np.zeros((K, 3), dtype=np.float32)
+        self.kf_bias = np.zeros((K, 6), dtype=np.float32)  # [bg, ba]
+        self.imu_initialized = False  # Map::SetImuInitialized (Map.cc:103)
+        self.kf_preint: dict = {}  # k -> Preintegrated from KF k-1 to k (host pytree)
         # landmarks
         self.n_lm = 0
         self.lm_valid = np.zeros(M, dtype=bool)
@@ -154,6 +159,24 @@ class WorldMap:
             self.lm_dmax[lid] = dist[0] * self.scale_factor**lvl
             self.lm_dmin[lid] = self.lm_dmax[lid] / (self.scale_factor ** (self.n_levels - 1))
             self.lm_n_obs[lid] = len(kfs)
+
+    # ------------------------------------------------------------------
+    def apply_scaled_rotation(self, R_yw: np.ndarray, s: float, scale_vel: bool = True):
+        """Rigid+scale gauge transform of the whole map after IMU init or an
+        inertial merge (Map::ApplyScaledRotation, Map.cc:231-265):
+        x_new = s * R_yw @ x_old for landmarks; poses become
+        R_cw' = R_cw @ R_yw^T, t_cw' = s * t_cw; velocities s * R_yw @ v."""
+        K = self.n_kf
+        R_yw = np.asarray(R_yw, dtype=np.float32)
+        s = float(s)
+        self.kf_R[:K] = self.kf_R[:K] @ R_yw.T
+        self.kf_t[:K] = s * self.kf_t[:K]
+        self.kf_vel[:K] = (s if scale_vel else 1.0) * (self.kf_vel[:K] @ R_yw.T)
+        ids = np.nonzero(self.lm_valid[: self.n_lm])[0]
+        self.lm_pos[ids] = s * (self.lm_pos[ids] @ R_yw.T)
+        self.lm_normal[ids] = self.lm_normal[ids] @ R_yw.T
+        self.lm_dmin[ids] *= s
+        self.lm_dmax[ids] *= s
 
     # ------------------------------------------------------------------
     # covisibility

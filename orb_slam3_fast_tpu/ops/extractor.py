@@ -304,6 +304,18 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypo
     return Keypoints(*[jnp.concatenate([getattr(o, f) for o in outs], axis=0) for f in Keypoints._fields])
 
 
+BASE_SIGMA = 1.0  # px at level 0 (reference mvLevelSigma2 convention)
+
+
 def level_sigma2(cfg: ExtractorConfig) -> np.ndarray:
-    """Per-level scale^2 (reference mvLevelSigma2) for chi2 weighting."""
-    return (cfg.scale_factor ** (2.0 * np.arange(cfg.n_levels))).astype(np.float32)
+    """Per-level keypoint variance (reference mvLevelSigma2) for chi2 gates.
+
+    sigma=1px at level 0 as in the reference.  NOTE: our detector has no
+    subpixel refinement, so residuals of correct associations run ~1.5-2px;
+    loosening ALL chi2 gates to match was tried and degraded corridor
+    stereo/RGB-D (more marginal associations reach BA) — only the
+    new-landmark triangulation gate is loosened instead
+    (MapperConfig.tri_chi2_scale)."""
+    return (BASE_SIGMA**2 * cfg.scale_factor ** (2.0 * np.arange(cfg.n_levels))).astype(
+        np.float32
+    )

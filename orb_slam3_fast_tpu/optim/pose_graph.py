@@ -1,0 +1,209 @@
+"""Essential-graph optimization: Sim3 (7-DoF) and yaw-only (4-DoF) pose graphs.
+
+TPU-native replacement for ``Optimizer::OptimizeEssentialGraph``
+(``/root/reference/src/Optimizer.cc:1518-1827``: ``VertexSim3Expmap`` +
+``EdgeSim3`` over loop/normal/spanning/covisibility edges, minFeat=100) and
+``OptimizeEssentialGraph4DoF`` (:5358-5686, ``VertexPose4DoF``/``Edge4DoF``
+for the inertial yaw-only gauge).
+
+Design (SURVEY.md §7): instead of g2o's pointer hypergraph + sparse Cholesky,
+vertices are SoA Sim3 arrays and edges a padded COO list; every GN iteration
+evaluates ALL edge residuals/Jacobians batched (vmap + jacfwd of the 7-dof
+tangent update) and scatter-adds 7x7 blocks into a dense KxK-block normal
+matrix — the graph is small (hundreds of KFs) so a dense device solve beats
+sparse bookkeeping; at larger K this is the matrix the distributed layer
+shards (parallel/dist_ba.py pattern).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_fast_tpu.utils import lie
+
+
+class Sim3Graph(NamedTuple):
+    """Padded pose-graph problem.  K vertices, E edge slots."""
+
+    R: jnp.ndarray  # (K,3,3) S_iw rotation
+    t: jnp.ndarray  # (K,3)
+    s: jnp.ndarray  # (K,)
+    edge_i: jnp.ndarray  # (E,) int32
+    edge_j: jnp.ndarray  # (E,) int32
+    # measurement S_ij (maps j-frame -> i-frame): R (E,3,3), t (E,3), s (E,)
+    meas_R: jnp.ndarray
+    meas_t: jnp.ndarray
+    meas_s: jnp.ndarray
+    edge_valid: jnp.ndarray  # (E,) bool
+    fixed: jnp.ndarray  # (K,) bool — gauge-fixed vertices
+    edge_w: jnp.ndarray  # (E,) float32 edge weight (information scale)
+
+
+def _edge_residual_sim3(dxi, dxj, Si: lie.Sim3, Sj: lie.Sim3, Sij: lie.Sim3):
+    """e = log(Sij^-1 * exp(dxi) Si * (exp(dxj) Sj)^-1) — EdgeSim3::computeError
+    (g2o/types/sim3 semantics: _error = (_inverseMeasurement*v1*v2.inverse()).log()
+    with measurement Sji; we store Sij so the inverse moves to the front)."""
+    Si_u = lie.sim3_exp(dxi).compose(Si)
+    Sj_u = lie.sim3_exp(dxj).compose(Sj)
+    return lie.sim3_log(Sij.inverse().compose(Si_u).compose(Sj_u.inverse()))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_sim3_graph(g: Sim3Graph, iters: int = 12, damping: float = 1e-6):
+    """Batched GN on the Sim3 pose graph.  Returns updated (R, t, s)."""
+    K = g.R.shape[0]
+    zero = jnp.zeros(7)
+
+    def body(_, state):
+        R, t, s = state
+        Svert = lie.Sim3(R, t, s)
+
+        def one_edge(i, j, mR, mt, ms):
+            Si = lie.Sim3(R[i], t[i], s[i])
+            Sj = lie.Sim3(R[j], t[j], s[j])
+            Sij = lie.Sim3(mR, mt, ms)
+            f = lambda di, dj: _edge_residual_sim3(di, dj, Si, Sj, Sij)
+            r = f(zero, zero)
+            Ji = jax.jacfwd(f, argnums=0)(zero, zero)
+            Jj = jax.jacfwd(f, argnums=1)(zero, zero)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(one_edge)(g.edge_i, g.edge_j, g.meas_R, g.meas_t, g.meas_s)
+        w = (g.edge_valid * g.edge_w)[:, None]
+        rw = r * w
+        Jiw = Ji * w[..., None]
+        Jjw = Jj * w[..., None]
+        # assemble dense H (7K,7K), b (7K)
+        Hii = jnp.einsum("eri,erj->eij", Jiw, Ji)
+        Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj)
+        Hij = jnp.einsum("eri,erj->eij", Jiw, Jj)
+        bi = jnp.einsum("eri,er->ei", Jiw, r)
+        bj = jnp.einsum("eri,er->ei", Jjw, r)
+        H = jnp.zeros((K, K, 7, 7))
+        H = H.at[g.edge_i, g.edge_i].add(Hii)
+        H = H.at[g.edge_j, g.edge_j].add(Hjj)
+        H = H.at[g.edge_i, g.edge_j].add(Hij)
+        H = H.at[g.edge_j, g.edge_i].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((K, 7)).at[g.edge_i].add(bi).at[g.edge_j].add(bj)
+        # gauge fixing: zero rows/cols of fixed vertices, identity diag
+        free = (~g.fixed).astype(H.dtype)
+        H = H * free[:, None, None, None] * free[None, :, None, None]
+        eye7 = jnp.eye(7)
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            (1.0 - free)[:, None, None] * eye7 + damping * eye7
+        )
+        b = b * free[:, None]
+        Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
+        dx = -jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 7)
+        Snew = lie.sim3_exp(dx).compose(Svert)
+        return (lie.normalize_rotation(Snew.R), Snew.t, Snew.s)
+
+    R, t, s = jax.lax.fori_loop(0, iters, body, (g.R, g.t, g.s))
+    return R, t, s
+
+
+# ---------------------------------------------------------------------------
+# 4-DoF variant (yaw + translation; inertial maps, gravity-aligned gauge)
+# ---------------------------------------------------------------------------
+
+
+class SE3Graph(NamedTuple):
+    R: jnp.ndarray  # (K,3,3) T_iw
+    t: jnp.ndarray  # (K,3)
+    edge_i: jnp.ndarray
+    edge_j: jnp.ndarray
+    meas_R: jnp.ndarray  # (E,3,3) T_ij
+    meas_t: jnp.ndarray
+    edge_valid: jnp.ndarray
+    fixed: jnp.ndarray
+    edge_w: jnp.ndarray
+
+
+def _yaw_update(dx, R, t):
+    """VertexPose4DoF::oplusImpl (G2oTypes.h:155-183): update = left-multiply
+    by exp of [tx,ty,tz, yaw about world z] on T_iw — i.e. the world frame is
+    rotated about gravity (z) and shifted."""
+    cy, sy = jnp.cos(dx[3]), jnp.sin(dx[3])
+    Rz = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    # T_iw' = T_iw * [Rz, dt]^-1 form would move the world; reference composes
+    # on the right of Tcw in world coords: R' = R Rz^T, t' = t - R Rz^T dt
+    Rn = R @ Rz.T
+    tn = t - Rn @ dx[:3]
+    return Rn, tn
+
+
+def _edge_residual_4dof(dxi, dxj, Ri, ti, Rj, tj, mR, mt):
+    """Edge4DoF (G2oTypes.h:783-818): e = log_SE3(T_ij * T_jw * T_iw^-1)."""
+    Ri_u, ti_u = _yaw_update(dxi, Ri, ti)
+    Rj_u, tj_u = _yaw_update(dxj, Rj, tj)
+    Ti = lie.SE3(Ri_u, ti_u)
+    Tj = lie.SE3(Rj_u, tj_u)
+    Tij = lie.SE3(mR, mt)
+    return lie.se3_log(Tij.compose(Tj).compose(Ti.inverse()))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_4dof_graph(g: SE3Graph, iters: int = 12, damping: float = 1e-6):
+    """Batched GN on the 4-DoF pose graph.  Returns updated (R, t)."""
+    K = g.R.shape[0]
+    zero = jnp.zeros(4)
+
+    def body(_, state):
+        R, t = state
+
+        def one_edge(i, j, mR, mt):
+            f = lambda di, dj: _edge_residual_4dof(di, dj, R[i], t[i], R[j], t[j], mR, mt)
+            r = f(zero, zero)
+            Ji = jax.jacfwd(f, argnums=0)(zero, zero)
+            Jj = jax.jacfwd(f, argnums=1)(zero, zero)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(one_edge)(g.edge_i, g.edge_j, g.meas_R, g.meas_t)
+        w = (g.edge_valid * g.edge_w)[:, None]
+        Jiw = Ji * w[..., None]
+        Jjw = Jj * w[..., None]
+        Hii = jnp.einsum("eri,erj->eij", Jiw, Ji)
+        Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj)
+        Hij = jnp.einsum("eri,erj->eij", Jiw, Jj)
+        bi = jnp.einsum("eri,er->ei", Jiw, r)
+        bj = jnp.einsum("eri,er->ei", Jjw, r)
+        H = jnp.zeros((K, K, 4, 4))
+        H = H.at[g.edge_i, g.edge_i].add(Hii)
+        H = H.at[g.edge_j, g.edge_j].add(Hjj)
+        H = H.at[g.edge_i, g.edge_j].add(Hij)
+        H = H.at[g.edge_j, g.edge_i].add(jnp.swapaxes(Hij, -1, -2))
+        b = jnp.zeros((K, 4)).at[g.edge_i].add(bi).at[g.edge_j].add(bj)
+        free = (~g.fixed).astype(H.dtype)
+        H = H * free[:, None, None, None] * free[None, :, None, None]
+        eye4 = jnp.eye(4)
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            (1.0 - free)[:, None, None] * eye4 + damping * eye4
+        )
+        b = b * free[:, None]
+        Hd = H.transpose(0, 2, 1, 3).reshape(K * 4, K * 4)
+        dx = -jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 4)
+
+        def upd(dxk, Rk, tk):
+            return _yaw_update(dxk, Rk, tk)
+
+        Rn, tn = jax.vmap(upd)(dx, R, t)
+        return (lie.normalize_rotation(Rn), tn)
+
+    R, t = jax.lax.fori_loop(0, iters, body, (g.R, g.t))
+    return R, t
+
+
+def correct_landmarks(lm_pos, ref_kf, R_old, t_old, s_old, R_new, t_new, s_new):
+    """Move landmarks rigidly with their reference keyframe's Sim3 correction
+    (CorrectLoop / OptimizeEssentialGraph point correction,
+    LoopClosing.cc:1164-1218, Optimizer.cc:1780-1820):
+    x' = S_new_ref^-1( S_old_ref(x) ).  All inputs batched over landmarks via
+    gather on ``ref_kf``."""
+    Ro, to, so = R_old[ref_kf], t_old[ref_kf], s_old[ref_kf]
+    Rn, tn, sn = R_new[ref_kf], t_new[ref_kf], s_new[ref_kf]
+    xc = so[:, None] * jnp.einsum("kij,kj->ki", Ro, lm_pos) + to
+    x_new = jnp.einsum("kji,kj->ki", Rn, (xc - tn)) / sn[:, None]
+    return x_new

@@ -260,72 +260,89 @@ class Sim3(NamedTuple):
         return Sim3(T.R, T.t, scale)
 
 
-def sim3_exp(xi: jnp.ndarray) -> Sim3:
-    """sim(3) exp; xi = (...,7) ordered [rho(3), phi(3), sigma(1)].
+def _sim3_W_coeffs(theta2: jnp.ndarray, sigma: jnp.ndarray):
+    """Coefficients (C, A, B) of Ws = C*I + A*hat(phi) + B*hat(phi)^2 where
+    Ws = integral_0^1 e^{sigma u} R(u phi) du (Strasdat thesis eq. 5.7).
 
-    Uses the closed-form W matrix (cf. Sophus sim3.hpp semantics; independent
-    derivation, see Strasdat's thesis eq. (5.7)).
+    A = int e^{su} sin(u th) du / th,  B = int e^{su} (1-cos(u th)) du / th^2,
+    C = int e^{su} du.  Four numerically separated branches with a float32-
+    appropriate switch at tau=0.05: the naive closed form suffers
+    catastrophic cancellation (error >> 1) for small angles in f32.
     """
+    TAU = 0.05
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    small_t = theta < TAU
+    small_s = jnp.abs(sigma) < TAU
+    th = jnp.where(small_t, TAU, theta)  # safe theta for generic formulas
+    sg = jnp.where(small_s, TAU, sigma)  # safe sigma for generic formulas
+    s_sg = jnp.exp(sg)
+
+    # C is stable for all sigma via expm1
+    sg_any = jnp.where(jnp.abs(sigma) < 1e-12, 1.0, sigma)
+    C = jnp.where(jnp.abs(sigma) < 1e-12, 1.0 + sigma / 2.0, jnp.expm1(sigma) / sg_any)
+
+    # branch DD: theta, sigma both small — double Taylor
+    s2 = sigma * sigma
+    A_dd = 0.5 + sigma / 3.0 + s2 / 8.0 - theta2 / 24.0 - sigma * theta2 / 30.0
+    B_dd = 1.0 / 6.0 + sigma / 8.0 + s2 / 20.0 - theta2 / 120.0 - sigma * theta2 / 144.0
+
+    # branch TS: theta small, sigma large — theta-Taylor, exact sigma
+    # En = int_0^1 u^n e^{sigma u} du (closed forms)
+    E1 = (s_sg * (sg - 1.0) + 1.0) / sg**2
+    E2 = (s_sg * (sg * sg - 2.0 * sg + 2.0) - 2.0) / sg**3
+    E3 = (s_sg * (sg**3 - 3.0 * sg**2 + 6.0 * sg - 6.0) + 6.0) / sg**4
+    E4 = (s_sg * (sg**4 - 4.0 * sg**3 + 12.0 * sg**2 - 24.0 * sg + 24.0) - 24.0) / sg**5
+    A_ts = E1 - theta2 / 6.0 * E3
+    B_ts = E2 / 2.0 - theta2 / 24.0 * E4
+
+    # branch ST: theta large, sigma small — sigma-series, exact theta
+    sinth, costh = jnp.sin(th), jnp.cos(th)
+    I0s = (1.0 - costh) / th  # int sin(u th) du
+    I1s = (sinth - th * costh) / th**2  # int u sin
+    I2s = (2.0 * th * sinth + (2.0 - th * th) * costh - 2.0) / th**3  # int u^2 sin
+    I0c = 1.0 - sinth / th  # int (1 - cos)
+    I1c = 0.5 - (costh + th * sinth - 1.0) / th**2
+    I2c = 1.0 / 3.0 - ((th * th - 2.0) * sinth + 2.0 * th * costh) / th**3
+    A_st = (I0s + sigma * I1s + 0.5 * s2 * I2s) / th
+    B_st = (I0c + sigma * I1c + 0.5 * s2 * I2c) / (th * th)
+
+    # branch GG: both large — classic closed form (Sophus sim3.hpp calc_W)
+    a_ = s_sg * sinth
+    b_ = s_sg * costh
+    cden = sg * sg + th * th
+    C_g = (s_sg - 1.0) / sg
+    A_gg = (a_ * sg + (1.0 - b_) * th) / (th * cden)
+    B_gg = (C_g - ((b_ - 1.0) * sg + a_ * th) / cden) / (th * th)
+
+    A = jnp.where(small_t, jnp.where(small_s, A_dd, A_ts), jnp.where(small_s, A_st, A_gg))
+    B = jnp.where(small_t, jnp.where(small_s, B_dd, B_ts), jnp.where(small_s, B_st, B_gg))
+    return C, A, B
+
+
+def sim3_exp(xi: jnp.ndarray) -> Sim3:
+    """sim(3) exp; xi = (...,7) ordered [rho(3), phi(3), sigma(1)]."""
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(phi)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
-
-    small_sigma = jnp.abs(sigma) < 1e-5
-    small_theta = theta < 1e-5
-    sigma_safe = jnp.where(small_sigma, 1.0, sigma)
-    theta_safe = jnp.where(small_theta, 1.0, theta)
-
-    # coefficients of Ws = A*I + B*W + C*W2 such that t = Ws @ rho
-    c0 = jnp.where(small_sigma, 1.0 + sigma / 2.0, (s - 1.0) / sigma_safe)
-
-    a_ = s * jnp.sin(theta)
-    b_ = s * jnp.cos(theta)
-    denom = sigma_safe * sigma_safe + theta_safe * theta_safe
-    # generic sigma, generic theta
-    gB = (c0 - ((b_ - 1.0) * sigma_safe + a_ * theta_safe) / denom) / jnp.maximum(theta2, _EPS * _EPS)
-    gC = (c0 - ((a_ * sigma_safe - (b_ - 1.0) * theta_safe) / theta_safe) / denom * 1.0)
-    gC = (c0 - (a_ / theta_safe * sigma_safe - (b_ - 1.0)) / denom) / jnp.maximum(
-        theta2, _EPS * _EPS
-    )
-    # small theta limits
-    sB = jnp.where(
-        small_sigma, 0.5 + sigma / 6.0, (sigma_safe * s - s + 1.0) / jnp.maximum(sigma_safe * sigma_safe, _EPS)
-    )
-    sC = jnp.where(
-        small_sigma,
-        1.0 / 6.0 + sigma / 24.0,
-        (s * (0.5 * sigma_safe * sigma_safe - sigma_safe + 1.0) - 1.0)
-        / jnp.maximum(sigma_safe**3, _EPS),
-    )
-    B = jnp.where(small_theta, sB, gB)
-    C = jnp.where(small_theta, sC, gC)
-    Ws = c0[..., None, None] * eye + B[..., None, None] * W + C[..., None, None] * W2
+    C, A, B = _sim3_W_coeffs(theta2, sigma)
+    Ws = C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
     t = jnp.einsum("...ij,...j->...i", Ws, rho)
     return Sim3(R, t, s)
 
 
 def sim3_log(S: Sim3) -> jnp.ndarray:
-    """Inverse of :func:`sim3_exp` via solving the linear system for rho."""
+    """Inverse of :func:`sim3_exp`: rebuild Ws and solve Ws rho = t."""
     phi = so3_log(S.R)
     sigma = jnp.log(S.s)
-    # rebuild Ws with the same coefficients and solve Ws rho = t
-    xi_partial = jnp.concatenate([jnp.zeros_like(phi), phi, sigma[..., None]], axis=-1)
-    probe = sim3_exp(xi_partial)  # t is zero; we need Ws, so recompute coefficients
-    # Recompute Ws by pushing basis vectors through the linear map.
-    basis = jnp.eye(3, dtype=phi.dtype)
-
-    def col(e):
-        xi = jnp.concatenate(
-            [jnp.broadcast_to(e, phi.shape), phi, sigma[..., None]], axis=-1
-        )
-        return sim3_exp(xi).t
-
-    cols = [col(basis[i]) for i in range(3)]
-    Ws = jnp.stack(cols, axis=-1)  # (...,3,3)
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    W = hat(phi)
+    W2 = W @ W
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
+    C, A, B = _sim3_W_coeffs(theta2, sigma)
+    Ws = C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
     rho = jnp.linalg.solve(Ws, S.t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

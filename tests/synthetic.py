@@ -117,3 +117,88 @@ def make_corridor_world(rng, n=800, half_w=4.0, half_h=3.0, length=40.0, tile=6)
         "sizes": rng.uniform(0.15, 0.4, n).astype(np.float32),
         "tex": rng.uniform(40.0, 230.0, (n, tile, tile)).astype(np.float32),
     }
+
+
+def make_ring_world(rng, n=1800, r_wall=9.0, half_h=2.5, tile=6):
+    """Splats on a cylinder wall (radius r_wall) around the origin plus
+    dense floor/ceiling — a closed scene for loop-closure trajectories.
+
+    Floor/ceiling cover the whole disc so the camera (circling at r=4) always
+    sees NEAR-FIELD points: a far-wall-only scene makes per-frame pose
+    estimation rotation/translation-ambiguous and mono tracking drifts
+    regardless of algorithm quality."""
+    n_wall = n // 2
+    a = rng.uniform(0, 2 * np.pi, n_wall)
+    wall = np.stack(
+        [r_wall * np.cos(a), r_wall * np.sin(a), rng.uniform(-half_h, half_h, n_wall)], -1
+    )
+    n_fc = n - n_wall
+    a2 = rng.uniform(0, 2 * np.pi, n_fc)
+    rr = r_wall * np.sqrt(rng.uniform(0.0, 1.0, n_fc))  # uniform over the disc
+    zf = np.where(rng.uniform(size=n_fc) < 0.5, -half_h, half_h)
+    fc = np.stack([rr * np.cos(a2), rr * np.sin(a2), zf], -1)
+    centers = np.concatenate([wall, fc]).astype(np.float32)
+    return {
+        "centers": centers,
+        "sizes": rng.uniform(0.25, 0.7, n).astype(np.float32),
+        "tex": rng.uniform(40.0, 230.0, (n, tile, tile)).astype(np.float32),
+    }
+
+
+def circle_trajectory(n_frames, radius=4.0, frac=1.1):
+    """Camera circling the origin at ``radius`` in the wall plane (z=0 is the
+    cylinder axis midplane -> here the circle lives in the xy-plane with the
+    camera looking along the tangent).  frac > 1 revisits the start (loop).
+
+    Camera frame: +z forward (tangent), +x right (radially outward), +y down.
+    """
+    poses = []
+    for i in range(n_frames):
+        a = 2 * np.pi * frac * i / n_frames
+        c, s = np.cos(a), np.sin(a)
+        center = np.array([radius * c, radius * s, 0.0], np.float32)
+        fwd = np.array([-s, c, 0.0], np.float32)
+        right = np.array([c, s, 0.0], np.float32)
+        down = np.array([0.0, 0.0, -1.0], np.float32)
+        R_wc = np.stack([right, down, fwd], axis=1)  # columns = cam axes in world
+        R = R_wc.T
+        t = -R @ center
+        poses.append(lie.SE3(jnp.asarray(R), jnp.asarray(t)))
+    return poses
+
+
+def arc_trajectory_with_imu(
+    n_frames, dt_frame=0.05, imu_rate=200.0, step=0.08, yaw_rate=0.004,
+    lateral=0.0, g_world=(0.0, 9.81, 0.0), gyro_bias=(0.0, 0.0, 0.0),
+    acc_bias=(0.0, 0.0, 0.0), noise_gyro=0.0, noise_acc=0.0, seed=0,
+):
+    """Arc trajectory (constant body twist, same as arc_trajectory) plus the
+    exact IMU stream a body-mounted sensor would measure.
+
+    The camera IS the body (T_bc = I).  With constant body twist
+    (v_b, w_b) = xi/dt: gyro = w_b, specific force
+    f_b = w_b x v_b - R_bw g_w (coriolis of the rotating frame minus
+    gravity).  ``g_world`` defaults to +y ("down" in camera convention).
+    Returns (poses T_cw per frame, imu rows (ts, ax, ay, az, wx, wy, wz)).
+    """
+    rng = np.random.default_rng(seed)
+    xi = np.array([step * 0.3, lateral, step, 0.0, yaw_rate, 0.0], np.float64) / dt_frame
+    v_b, w_b = xi[:3], xi[3:]
+    g_w = np.asarray(g_world, np.float64)
+    dt_imu = 1.0 / imu_rate
+    poses = []
+    imu = []
+    T_wb = lie.SE3.identity()
+    n_sub = int(round(dt_frame * imu_rate))
+    inc = lie.se3_exp(jnp.asarray(xi * dt_imu, dtype=jnp.float32))
+    for i in range(n_frames):
+        poses.append(T_wb.inverse())
+        for j in range(n_sub):
+            ts = i * dt_frame + (j + 1) * dt_imu
+            R_wb = np.asarray(T_wb.R, np.float64)
+            f_b = np.cross(w_b, v_b) - R_wb.T @ g_w
+            a_meas = f_b + np.asarray(acc_bias) + rng.normal(0, noise_acc, 3)
+            w_meas = w_b + np.asarray(gyro_bias) + rng.normal(0, noise_gyro, 3)
+            imu.append([ts, *a_meas, *w_meas])
+            T_wb = T_wb.compose(inc)
+    return poses, np.asarray(imu)

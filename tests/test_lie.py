@@ -139,3 +139,34 @@ def test_normalize_rotation(rng):
     eye = np.broadcast_to(np.eye(3), (8, 3, 3))
     np.testing.assert_allclose(np.asarray(Rn @ jnp.swapaxes(Rn, -1, -2)), eye, atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(np.asarray(Rn)), 1.0, atol=1e-5)
+
+
+def test_sim3_exp_fuzz_vs_expm():
+    """sim3_exp must stay accurate across tangent magnitudes 1e-7..3 in f32
+    (regression: the naive closed-form Ws coefficients cancel catastrophically
+    for small theta/sigma and once produced |t| errors > 1 for |xi| ~ 5e-4)."""
+    import jax.numpy as jnp
+    import scipy.linalg as sla
+
+    from orb_slam3_fast_tpu.utils import lie
+
+    rng = np.random.default_rng(0)
+    worst = 0.0
+    for _ in range(500):
+        scale = 10 ** rng.uniform(-7, 0.5)
+        xi = rng.normal(0, scale, 7).astype(np.float32)
+        if np.linalg.norm(xi[3:6]) > 3.1:
+            continue
+        S = lie.sim3_exp(jnp.asarray(xi))
+        G = np.zeros((4, 4))
+        phi, sig = xi[3:6], xi[6]
+        G[:3, :3] = np.array(
+            [[sig, -phi[2], phi[1]], [phi[2], sig, -phi[0]], [-phi[1], phi[0], sig]]
+        )
+        G[:3, 3] = xi[:3]
+        M = sla.expm(G.astype(np.float64))
+        terr = np.abs(np.asarray(S.t) - M[:3, 3]).max() / max(np.abs(M[:3, 3]).max(), 1e-3)
+        xi2 = np.asarray(lie.sim3_log(S))
+        rt = np.abs(xi2 - xi).max() / max(np.abs(xi).max(), 1e-4)
+        worst = max(worst, terr, rt)
+    assert worst < 3e-3, f"sim3 exp/log worst rel err {worst}"

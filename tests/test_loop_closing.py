@@ -1,0 +1,77 @@
+"""End-to-end loop-closing test: a circular mono trajectory revisits its
+start; the loop closer must detect the loop (place recognition + Sim3) and
+correct accumulated drift (CorrectLoop + essential graph + GBA)."""
+import numpy as np
+import pytest
+
+from orb_slam3_fast_tpu.backend.loopcloser import LoopCloser, LoopCloserConfig
+from orb_slam3_fast_tpu.backend.mapper import Mapper
+from orb_slam3_fast_tpu.cameras import models as cam_models
+from orb_slam3_fast_tpu.eval import ate
+from orb_slam3_fast_tpu.frontend import tracker as trk
+from orb_slam3_fast_tpu.map.worldmap import WorldMap
+from orb_slam3_fast_tpu.ops import extractor as ext
+from orb_slam3_fast_tpu.vocab import database as db_mod
+from orb_slam3_fast_tpu.vocab import vocabulary as voc_mod
+
+from tests import synthetic as syn
+
+CAM = cam_models.Camera.pinhole(400.0, 400.0, 320.0, 240.0)
+CFG = trk.TrackerConfig(
+    extractor=ext.ExtractorConfig(n_features=768),
+    min_init_matches=60,
+    motion_radius=25.0,
+)
+
+
+def _run_circle(n_frames=150, with_loop_closer=True, seed=0):
+    rng = np.random.default_rng(seed)
+    world = syn.make_ring_world(rng)
+    poses = syn.circle_trajectory(n_frames, radius=4.0, frac=1.12)
+    voc = voc_mod.default_vocabulary()
+    kfdb = db_mod.KeyFrameDatabase(voc.n_words, max_kf=256)
+    mapper = Mapper(CAM, sigma2=ext.level_sigma2(CFG.extractor))
+    lc = None
+    if with_loop_closer:
+        lc = LoopCloser(CAM, voc, kfdb, mapper,
+                        cfg=LoopCloserConfig(min_covis_edge=30, temporal_gap=15),
+                        sigma2=ext.level_sigma2(CFG.extractor))
+    t = trk.Tracker(
+        CAM, CFG,
+        world=WorldMap(kp_cap=ext.total_capacity(CFG.extractor), max_kf=256),
+        mapper=mapper, voc=voc, kfdb=kfdb, loopcloser=lc,
+    )
+    gt, est, ts = [], [], []
+    for i, T in enumerate(poses):
+        img = syn.render(world, CAM, T)
+        state, pose = t.process_mono(img, i * 0.05)
+        if state == trk.OK and pose is not None:
+            R, tt = pose
+            est.append(-R.T @ tt)
+            gt.append(np.asarray(T.inverse().t))
+            ts.append(i * 0.05)
+    return t, lc, np.asarray(gt), np.asarray(est), np.asarray(ts)
+
+
+@pytest.mark.slow
+def test_loop_closes_and_reduces_drift():
+    t, lc, gt, est, ts = _run_circle(with_loop_closer=True)
+    assert t.state == trk.OK
+    assert len(est) > 120, f"only {len(est)} tracked frames"
+    assert lc.n_loops_closed >= 1, "loop was never closed"
+    rmse, n, s = ate.ate_rmse(ts, est, ts, gt, with_scale=True)
+    # full circle, radius 4 (~25 m path): after closure drift must be small
+    assert rmse < 0.30, f"post-loop ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_keyframe_db_excludes_recent():
+    """Without a loop closer the same run must still track (control case), and
+    the DB never returns temporally-adjacent candidates."""
+    t, lc, gt, est, ts = _run_circle(n_frames=60, with_loop_closer=False, seed=1)
+    assert t.state == trk.OK
+    k = t.world.n_kf - 1
+    bow = t.kfdb.bow[k]
+    recent = np.arange(max(0, k - 10), t.world.n_kf)
+    loop_c, _ = t.kfdb.detect_n_best_candidates(bow, recent, 3, query_map=0)
+    assert not np.any(np.isin(loop_c, recent))
