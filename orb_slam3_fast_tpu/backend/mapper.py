@@ -76,11 +76,6 @@ class MapperConfig:
     min_parallax_cos: float = 0.99996
     cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:388)
     recent_window: int = 3
-    # chi2 scale for the triangulation acceptance gate only: our integer
-    # (no-subpixel) keypoints carry ~1.5x the reference's localization noise,
-    # and gating new landmarks at sigma=1 starves map growth on rotation-
-    # dominant motion (frontier landmark creation drops ~5x)
-    tri_chi2_scale: float = 2.25
 
 
 class Mapper:
@@ -227,7 +222,7 @@ class Mapper:
             ok &= z > 0.02
             uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xc)))
             err2 = ((uv - world.kf_xy[kf, slots]) ** 2).sum(1)
-            ok &= err2 <= 5.991 * self.cfg.tri_chi2_scale * self.sigma2[world.kf_level[kf, slots]]
+            ok &= err2 <= 5.991 * self.sigma2[world.kf_level[kf, slots]]
         # parallax
         d_k = X - world.camera_center(k)[None]
         d_n = X - world.camera_center(n)[None]
@@ -328,40 +323,22 @@ class Mapper:
     # ------------------------------------------------------------------
     def _local_ba(self, world: WorldMap, k: int):
         """LocalBundleAdjustment window (Optimizer.cc:1109-1516): covisible
-        KFs free, their neighbors fixed, all their landmarks.
-
-        Gauge: the map-origin keyframes (ids 0/1, the initialization pair)
-        are ALWAYS fixed when present (the reference fixes KFs with
-        id <= initKFid, Optimizer.cc:1139-1152); otherwise the boundary
-        covisibles anchor the window.  Anchoring to the NEWEST keyframe
-        (a previous bug) lets the whole map + mono scale wander each BA —
-        measured map deformation of ~0.5-2 units per call before tracking
-        collapsed on rotating trajectories."""
-        window = [int(k)] + [int(x) for x in world.best_covisible(k, self.cfg.ba_window - 1, min_shared=5)]
-        # fixed boundary: covisibles of the window not already in it
-        fixed: list[int] = []
+        KFs free, their neighbors fixed, all their landmarks."""
+        window = [k] + list(world.best_covisible(k, self.cfg.ba_window - 1, min_shared=5))
+        # fixed boundary: covisibles of the window not already in it + gauge
+        fixed = []
         for w in window:
             for c in world.best_covisible(w, 5, min_shared=5):
-                c = int(c)
                 if c not in window and c not in fixed:
                     fixed.append(c)
                 if len(fixed) >= self.cfg.ba_fixed:
                     break
             if len(fixed) >= self.cfg.ba_fixed:
                 break
-        # origin anchoring: init pair is never free
-        for anchor in (0, 1):
-            if anchor in window and world.kf_valid[anchor]:
-                window.remove(anchor)
-                if anchor not in fixed:
-                    fixed.append(anchor)
+        if 0 not in window and 0 not in fixed and world.kf_valid[0]:
+            fixed.append(0)
         if not fixed:
-            # no boundary, no origin in window: pin the two OLDEST in window
-            oldest = sorted(window)[:2]
-            window = [w for w in window if w not in oldest]
-            fixed = oldest
-        if not window:
-            return
+            fixed = [window[0]]  # gauge: fix oldest in window
         self._run_ba(world, np.asarray(window + fixed), fixed=np.asarray(fixed), iters=(5, 10))
 
     def _run_ba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray, iters=(5, 10)):

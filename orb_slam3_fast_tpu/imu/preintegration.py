@@ -256,3 +256,11 @@ def merge(prev: Preintegrated, acc, gyro, dt, noise: ImuNoise, valid=None) -> Pr
 
     out, _ = jax.lax.scan(step, prev, (acc, gyro, dt))
     return out
+
+
+# Jitted entry points: the tracker calls these once per frame with a
+# fixed-size measurement bucket, so each compiles exactly once.  (Calling
+# the raw functions re-traces the whole scan per call — measured to blow up
+# XLA CPU compile memory over long sequences.)
+preintegrate_jit = jax.jit(preintegrate)
+merge_jit = jax.jit(merge)

@@ -88,21 +88,15 @@ def rotation_consistency(
 ) -> jnp.ndarray:
     """Rotation-histogram filter (reference CheckOrientation pattern,
     ORBmatcher.cc:1770-1805): bin the angle differences of accepted matches
-    into 30 bins and keep matches near the dominant rotation.
-
-    The reference keeps the 3 most populated bins.  With noisy orientation
-    estimates and few matches, matches spread over many bins and a literal
-    top-3 filter throws away ~40% of TRUE matches (measured on rotating
-    synthetic sequences), so we keep a +/-2-bin circular window around the
-    mode instead — same intent (reject rotation-inconsistent outliers),
-    robust at low counts."""
+    into 30 bins, keep only matches in the 3 most populated bins."""
     two_pi = 2.0 * jnp.pi
     rot = jnp.mod(angle_a - angle_b, two_pi)
     binf = rot * (HISTO_LENGTH / two_pi)
     bins = jnp.clip(jnp.round(binf).astype(jnp.int32), 0, HISTO_LENGTH) % HISTO_LENGTH
     counts = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[bins].add(accept.astype(jnp.int32))
-    # smoothed mode: each bin scored with its circular neighbors
-    rolled = counts + jnp.roll(counts, 1) + jnp.roll(counts, -1)
-    mode = jnp.argmax(rolled)
-    dist = jnp.minimum(jnp.abs(bins - mode), HISTO_LENGTH - jnp.abs(bins - mode))
-    return accept & (dist <= 2)
+    top3 = jax.lax.top_k(counts, 3)[0]
+    thresh = top3[2]
+    # reference keeps bins ind1..ind3; equivalently any bin with count >= the
+    # 3rd-largest count (and nonzero)
+    good_bin = (counts >= jnp.maximum(thresh, 1)) & (counts > 0)
+    return accept & good_bin[bins]

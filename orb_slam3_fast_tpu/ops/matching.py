@@ -218,8 +218,8 @@ def search_for_triangulation(
     free_b: jnp.ndarray,
     F_ab: jnp.ndarray,
     level_sigma2: jnp.ndarray,
-    th: int = 60,
-    ratio: float = 1.0,
+    th: int = ham.TH_LOW,
+    ratio: float = 0.85,
 ):
     """Epipolar-constrained matching of *unmatched* features between two
     keyframes for new-landmark triangulation (reference
