@@ -10,8 +10,19 @@ dual-image ORB extraction (pyramid/FAST/NMS/orientation/BRIEF), rectified
 stereo matching, landmark projection matching against a 4096-point local
 map, and 4x10-iteration LM pose optimization — the same stages the
 reference times (ORB extract + stereo match + pose pred + LM track).
+
+Measurement is *pipelined throughput*: each step consumes the previous
+step's pose (a real data dependency, so XLA cannot elide the chain) and a
+fresh image, steps are dispatched asynchronously, and we block once at the
+end.  This is how the tracker actually runs (dispatch frame k+1's extraction
+while frame k's optimization completes) and removes the host<->device
+round-trip latency of the test harness from the number — on this rig the
+device is reached through a relay tunnel whose RTT (~30 ms) would otherwise
+dominate a per-frame-blocking measurement.  Per-frame blocking latency is
+reported alongside in the breakdown on stderr.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -35,13 +46,17 @@ def main():
     n_lm = 4096
 
     rng = np.random.default_rng(0)
-    # synthetic textured frame + local map
-    img = rng.uniform(0, 50, (480, 640)).astype(np.float32)
-    for _ in range(120):
-        cy, cx = rng.integers(20, 440), rng.integers(20, 600)
-        img[cy : cy + rng.integers(8, 24), cx : cx + rng.integers(8, 24)] += rng.uniform(80, 170)
-    img = np.clip(img, 0, 255)
-    img_r = np.roll(img, -10, axis=1)
+    # synthetic textured frames + local map
+    def make_img():
+        img = rng.uniform(0, 50, (480, 640)).astype(np.float32)
+        for _ in range(120):
+            cy, cx = rng.integers(20, 440), rng.integers(20, 600)
+            img[cy : cy + rng.integers(8, 24), cx : cx + rng.integers(8, 24)] += rng.uniform(80, 170)
+        return np.clip(img, 0, 255)
+
+    n_imgs = 8  # rotate through a few frames so inputs vary
+    imgs_l = [make_img() for _ in range(n_imgs)]
+    imgs_r = [np.roll(im, -10, axis=1) for im in imgs_l]
     lm_pos = np.stack(
         [rng.uniform(-4, 4, n_lm), rng.uniform(-3, 3, n_lm), rng.uniform(3, 20, n_lm)], -1
     ).astype(np.float32)
@@ -74,25 +89,36 @@ def main():
         return T_new.R, T_new.t, n_inl, sm.valid.sum()
 
     step = jax.jit(tracking_step)
-    args = (
-        jnp.asarray(img),
-        jnp.asarray(img_r),
-        jnp.eye(3),
-        jnp.zeros(3),
-        jnp.asarray(lm_pos),
-        jnp.asarray(lm_desc),
-        jnp.asarray(lm_level),
-    )
+    jl = [jax.device_put(jnp.asarray(im)) for im in imgs_l]
+    jr = [jax.device_put(jnp.asarray(im)) for im in imgs_r]
+    jpos = jax.device_put(jnp.asarray(lm_pos))
+    jdesc = jax.device_put(jnp.asarray(lm_desc))
+    jlvl = jax.device_put(jnp.asarray(lm_level))
+    R = jnp.eye(3)
+    t = jnp.zeros(3)
     # warmup / compile
-    out = jax.block_until_ready(step(*args))
-    for _ in range(3):
-        out = jax.block_until_ready(step(*args))
-    n = 20
+    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl)
+    jax.block_until_ready((R, t))
+
+    # per-frame blocking latency (includes tunnel RTT; stderr diagnostics)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = jax.block_until_ready(step(*args))
+    for i in range(10):
+        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl)
+        jax.block_until_ready((R, t))
+    lat_ms = (time.perf_counter() - t0) / 10 * 1e3
+    print(f"blocking per-frame latency: {lat_ms:.2f} ms", file=sys.stderr)
+
+    # pipelined throughput: pose chains step->step (true data dependency)
+    n = 60
+    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl)
+    jax.block_until_ready((R, t))
+    t0 = time.perf_counter()
+    for i in range(n):
+        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl)
+    jax.block_until_ready((R, t))
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
+    print(f"pipelined step time: {dt*1e3:.2f} ms", file=sys.stderr)
     print(
         json.dumps(
             {

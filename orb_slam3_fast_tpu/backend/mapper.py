@@ -76,6 +76,14 @@ class MapperConfig:
     min_parallax_cos: float = 0.99996
     cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:388)
     recent_window: int = 3
+    # Triangulation reprojection gate scale on top of 5.991*sigma2.  Our
+    # detector has NO subpixel refinement (extractor.py: integer keypoints),
+    # so residuals of CORRECT pairs run 1.5-2px; gating at sigma=1 starves
+    # new-landmark creation ~5x on rotation-dominant motion (measured on the
+    # circle benchmark: +200/KF -> +20/KF and tracking collapse).  2.25 = a
+    # (1.5px)^2 detector-noise allowance; the culling + BA outlier gates
+    # still prune bad points downstream.
+    tri_chi2_scale: float = 2.25
 
 
 class Mapper:
@@ -222,7 +230,7 @@ class Mapper:
             ok &= z > 0.02
             uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xc)))
             err2 = ((uv - world.kf_xy[kf, slots]) ** 2).sum(1)
-            ok &= err2 <= 5.991 * self.sigma2[world.kf_level[kf, slots]]
+            ok &= err2 <= 5.991 * self.cfg.tri_chi2_scale * self.sigma2[world.kf_level[kf, slots]]
         # parallax
         d_k = X - world.camera_center(k)[None]
         d_n = X - world.camera_center(n)[None]
@@ -335,10 +343,25 @@ class Mapper:
                     break
             if len(fixed) >= self.cfg.ba_fixed:
                 break
-        if 0 not in window and 0 not in fixed and world.kf_valid[0]:
-            fixed.append(0)
+        # Gauge: the map-origin keyframes are ALWAYS fixed, even when they fall
+        # inside the covisible window (Optimizer.cc:1224 fixes
+        # pKFi->mnId == pMap->GetInitKFid() among the local KFs).  Letting them
+        # float in the early map — where every KF is mutually covisible and the
+        # boundary set is empty — lets each BA call wander the global frame /
+        # scale by 0.5-2 units and collapses tracking.
+        init_ids = [i for i in (0, 1) if i < world.n_kf and world.kf_valid[i]]
+        for g in init_ids:
+            if g in window and len(window) > 1:
+                window.remove(g)
+            if g not in fixed and g not in window:
+                fixed.append(g)
         if not fixed:
-            fixed = [window[0]]  # gauge: fix oldest in window
+            # no boundary and origin not reachable: fix the OLDEST keyframes
+            # in the window (not the newest) to anchor the gauge
+            oldest = sorted(window)[: min(2, len(window) - 1)] or [sorted(window)[0]]
+            for g in oldest:
+                window.remove(g)
+                fixed.append(g)
         self._run_ba(world, np.asarray(window + fixed), fixed=np.asarray(fixed), iters=(5, 10))
 
     def _run_ba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray, iters=(5, 10)):

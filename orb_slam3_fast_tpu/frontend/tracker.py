@@ -58,8 +58,8 @@ class TrackerConfig(NamedTuple):
     # keypoint's L/R detection pair carries a PERSISTENT subpixel offset
     # (detector quantization), so the disparity error is correlated across
     # frames and biases the pose instead of averaging out — measured 2-4x
-    # ATE degradation on synthetic stereo.  Landmark depths still use the
-    # (subpixel-refined) disparities; revisit with level-aware SAD refine.
+    # ATE degradation on synthetic stereo.  Landmark depths use the raw
+    # integer disparities (matches with disp < 1 px are treated as mono).
     use_stereo_pose_edges: bool = False
 
 
@@ -108,7 +108,6 @@ _search_by_projection = jax.jit(mat.search_by_projection, static_argnames=())
 _search_frame_to_frame = jax.jit(mat.search_frame_to_frame)
 _search_for_initialization = jax.jit(mat.search_for_initialization)
 _stereo_match = jax.jit(mat.stereo_match, static_argnames=("bf", "min_z"))
-_stereo_refine = jax.jit(mat.stereo_subpixel_refine)
 
 
 class Tracker:

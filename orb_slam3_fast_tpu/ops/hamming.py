@@ -94,9 +94,13 @@ def rotation_consistency(
     binf = rot * (HISTO_LENGTH / two_pi)
     bins = jnp.clip(jnp.round(binf).astype(jnp.int32), 0, HISTO_LENGTH) % HISTO_LENGTH
     counts = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[bins].add(accept.astype(jnp.int32))
-    top3 = jax.lax.top_k(counts, 3)[0]
-    thresh = top3[2]
-    # reference keeps bins ind1..ind3; equivalently any bin with count >= the
-    # 3rd-largest count (and nonzero)
-    good_bin = (counts >= jnp.maximum(thresh, 1)) & (counts > 0)
-    return accept & good_bin[bins]
+    top3_val, top3_idx = jax.lax.top_k(counts, 3)
+    # exactly 3 bins (top_k breaks count ties by bin index, deterministic),
+    # and the reference discards the 2nd/3rd bins when their count falls
+    # below 0.1x the max bin (ORBmatcher.cc:1949-1953 ComputeThreeMaxima)
+    keep2 = top3_val[1].astype(jnp.float32) >= 0.1 * top3_val[0].astype(jnp.float32)
+    keep3 = top3_val[2].astype(jnp.float32) >= 0.1 * top3_val[0].astype(jnp.float32)
+    good = (bins == top3_idx[0]) & (top3_val[0] > 0)
+    good |= (bins == top3_idx[1]) & keep2 & (top3_val[1] > 0)
+    good |= (bins == top3_idx[2]) & keep3 & (top3_val[2] > 0)
+    return accept & good

@@ -190,7 +190,10 @@ def stereo_match(
     )
     mask = (
         (dv <= vr_band[None, :])
-        & (disp >= -1.0)  # reference minD = 0 with subpixel slack
+        & (disp >= 1.0)  # integer disparities (no subpixel refine): disp < 1
+        # is indistinguishable from infinity and would yield bogus finite
+        # depths of bf/0.01; treat such matches as mono (reference rejects
+        # disparity < minD for unrefined matches, Frame.cc:1057)
         & (disp <= max_d * max_disp_frac)
         & lvl_ok
         & kp_l.valid[:, None]
@@ -198,13 +201,16 @@ def stereo_match(
     )
     b = ham.masked_best2(d, mask)
     accept = b.dist <= th_dist
+    # two left keypoints must not claim the same right keypoint (the
+    # reference prunes duplicate-right matches, Frame.cc:1057-1078)
+    accept = ham.resolve_duplicate_targets(b.idx, b.dist, accept, kp_r.n)
     # median-distance outlier pruning: thDist = 1.5 * 1.4 * median
     dist_f = jnp.where(accept, b.dist, ham.INF_DIST).astype(jnp.float32)
     med = jnp.median(jnp.where(accept, dist_f, jnp.nan))
     med = jnp.nan_to_num(med, nan=float(ham.TH_HIGH))
     accept = accept & (dist_f <= 2.1 * med)
     ur = kp_r.xy[b.idx, 0]
-    disparity = jnp.maximum(kp_l.xy[:, 0] - ur, 0.01)
+    disparity = jnp.maximum(kp_l.xy[:, 0] - ur, 1.0)
     depth = jnp.where(accept, bf / disparity, -1.0)
     # sanity: positive finite depth
     accept = accept & (depth > 0) & (depth < 1e6)
@@ -219,7 +225,7 @@ def search_for_triangulation(
     F_ab: jnp.ndarray,
     level_sigma2: jnp.ndarray,
     th: int = ham.TH_LOW,
-    ratio: float = 0.85,
+    ratio: float = 1.0,  # the reference applies NO ratio test here
 ):
     """Epipolar-constrained matching of *unmatched* features between two
     keyframes for new-landmark triangulation (reference
