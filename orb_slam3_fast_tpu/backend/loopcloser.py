@@ -257,6 +257,7 @@ class LoopCloser:
             ))
             world.lm_pos[win_lms[ok]] = new_pos
         # write corrected window poses back as SE3 (T = [R, t/s], :1210-1217)
+        R_init[window] = lie.normalize_rotation_np(R_init[window])
         world.kf_R[window] = R_init[window]
         world.kf_t[window] = t_init[window] / s_init[window][:, None]
         # fuse duplicates: loop-side landmarks into the corrected window (:2261)
@@ -366,7 +367,7 @@ class LoopCloser:
             edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed), edge_w=jnp.ones(E),
         )
         Rn, tn, sn = pg.optimize_sim3_graph(g, iters=cfg.pose_graph_iters)
-        Rn, tn, sn = np.asarray(Rn), np.asarray(tn), np.asarray(sn)
+        Rn, tn, sn = lie.normalize_rotation_np(np.asarray(Rn)), np.asarray(tn), np.asarray(sn)
         # correct all landmarks with their reference KF's Sim3 delta (:1780)
         lm_ids = np.nonzero(world.lm_valid[: world.n_lm])[0]
         if len(lm_ids):

@@ -76,14 +76,12 @@ class MapperConfig:
     min_parallax_cos: float = 0.99996
     cull_found_ratio: float = 0.25  # MapPointCulling (LocalMapping.cc:388)
     recent_window: int = 3
-    # Triangulation reprojection gate scale on top of 5.991*sigma2.  Our
-    # detector has NO subpixel refinement (extractor.py: integer keypoints),
-    # so residuals of CORRECT pairs run 1.5-2px; gating at sigma=1 starves
-    # new-landmark creation ~5x on rotation-dominant motion (measured on the
-    # circle benchmark: +200/KF -> +20/KF and tracking collapse).  2.25 = a
-    # (1.5px)^2 detector-noise allowance; the culling + BA outlier gates
-    # still prune bad points downstream.
-    tri_chi2_scale: float = 2.25
+    # Triangulation reprojection gate scale on top of 5.991*sigma2.  With
+    # the detector's dense-response subpixel refinement (extractor.py)
+    # sigma=1 gating is valid; the scale knob is kept for experiments with
+    # integer detectors (round-2 history: gating integer keypoints at
+    # sigma=1 starved new-landmark creation ~5x on rotation-dominant motion).
+    tri_chi2_scale: float = 1.0
 
 
 class Mapper:
@@ -103,7 +101,7 @@ class Mapper:
         self._run_ba(world, np.asarray(kf_ids), fixed=np.asarray([kf_ids[0]]), iters=(8, 12))
 
     # ------------------------------------------------------------------
-    def process_new_keyframe(self, world: WorldMap, k: int):
+    def process_new_keyframe(self, world: WorldMap, k: int, kfdb=None):
         """One LocalMapping::Run iteration for keyframe k."""
         self._cull_landmarks(world, k)
         created = self._triangulate_new(world, k)
@@ -115,6 +113,63 @@ class Mapper:
         touched = np.unique(world.kf_obs[k][world.kf_obs[k] >= 0])
         world.update_landmark_stats(touched)
         self._refresh_descriptors(world, k)
+        self._cull_keyframes(world, k, kfdb)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, world: WorldMap, k: int, kfdb=None):
+        """KeyFrameCulling (LocalMapping.cc:908-1050): a covisible keyframe
+        is redundant if >= 90% of its landmarks are observed by at least 3
+        OTHER keyframes at the same or finer scale.  Bounds live map size on
+        long/loopy sequences; culled KFs keep their pose entry for
+        trajectory recovery (see WorldMap.remove_keyframe).
+
+        Batched: one (K, kp_cap)->isin incidence per candidate instead of
+        the reference's per-point observation-map walks."""
+        cand = world.best_covisible(k, 20, min_shared=5)
+        K = world.n_kf
+        n_culled = 0
+        for c in cand:
+            c = int(c)
+            # never the origin KFs (gauge anchors), the newest, or inertial
+            # chain members whose preintegration we cannot merge yet
+            if c in (world.init_kf_ids or [0, 1]) or c == k or not world.kf_valid[c]:
+                continue
+            if c in world.kf_preint or (c + 1) in world.kf_preint:
+                continue
+            slots = np.nonzero(world.kf_obs[c] >= 0)[0]
+            if len(slots) < 30:
+                world.remove_keyframe(c)
+                if kfdb is not None:
+                    kfdb.erase(c)
+                n_culled += 1
+                continue
+            lm = world.kf_obs[c, slots]
+            lvl_c = world.kf_level[c, slots]
+            # observation incidence of these landmarks across all valid KFs
+            other = np.nonzero(world.kf_valid[:K])[0]
+            other = other[other != c]
+            n_redundant = 0
+            # count, per landmark, other-KF observations at level <= lvl_c+1
+            obs_o = world.kf_obs[other]  # (Ko, N)
+            lvl_o = world.kf_level[other]
+            counts = np.zeros(len(lm), dtype=np.int32)
+            lm_to_i = -np.ones(world.max_lm, dtype=np.int64)
+            lm_to_i[lm] = np.arange(len(lm))
+            hit = obs_o >= 0
+            rows, cols = np.nonzero(hit)
+            li = lm_to_i[obs_o[rows, cols]]
+            ok = li >= 0
+            rows, cols, li = rows[ok], cols[ok], li[ok]
+            scale_ok = lvl_o[rows, cols] <= lvl_c[li] + 1
+            np.add.at(counts, li[scale_ok], 1)
+            n_redundant = int((counts >= 3).sum())
+            if n_redundant > 0.9 * len(lm):
+                world.remove_keyframe(c)
+                if kfdb is not None:
+                    kfdb.erase(c)
+                n_culled += 1
+            if n_culled >= 2:  # bound per-KF culling work
+                break
 
     def _refresh_descriptors(self, world: WorldMap, k: int, max_obs: int = 8):
         """MapPoint::ComputeDistinctiveDescriptors (MapPoint.cc:372-441): the
@@ -348,8 +403,14 @@ class Mapper:
         # pKFi->mnId == pMap->GetInitKFid() among the local KFs).  Letting them
         # float in the early map — where every KF is mutually covisible and the
         # boundary set is empty — lets each BA call wander the global frame /
-        # scale by 0.5-2 units and collapses tracking.
-        init_ids = [i for i in (0, 1) if i < world.n_kf and world.kf_valid[i]]
+        # scale by 0.5-2 units and collapses tracking.  Mono maps register two
+        # origin KFs (scale gauge); stereo/RGB-D exactly one — freezing a
+        # regular KF as a second anchor over-constrains the gauge.
+        init_ids = [
+            i
+            for i in (world.init_kf_ids or [0])
+            if i < world.n_kf and world.kf_valid[i]
+        ]
         for g in init_ids:
             if g in window and len(window) > 1:
                 window.remove(g)
@@ -425,9 +486,14 @@ class Mapper:
         R, t, xw, inlier = ba.bundle_adjust(
             self.cam, jnp.float32(self.bf), prob, iters1=iters[0], iters2=iters[1]
         )
-        # write back free poses + landmarks
+        # write back free poses + landmarks (rotations projected to SO(3) —
+        # see lie.normalize_rotation_np)
+        from orb_slam3_fast_tpu.utils import lie as lie_mod
+
         free = ~pose_fixed[: len(kf_ids)]
-        world.kf_R[kf_ids[free]] = np.asarray(R)[: len(kf_ids)][free]
+        world.kf_R[kf_ids[free]] = lie_mod.normalize_rotation_np(
+            np.asarray(R)[: len(kf_ids)][free]
+        )
         world.kf_t[kf_ids[free]] = np.asarray(t)[: len(kf_ids)][free]
         world.lm_pos[lm_ids] = np.asarray(xw)[: len(lm_ids)]
         # drop outlier observations (Optimizer.cc:1398-1420 erase loop)

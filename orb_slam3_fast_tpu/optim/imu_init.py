@@ -59,12 +59,19 @@ def inertial_only_optimization(
     prior_acc: float = 1e6,  # priorA
     iters: int = 40,
     fix_scale: bool = False,
+    edge_valid: jnp.ndarray | None = None,  # (K-1,) bool; False = padding edge
 ) -> InertialInit:
+    """Callers may PAD the chain to a fixed K (repeating the last state and
+    preint) and mask the padding with ``edge_valid`` — keeps the jit cache at
+    one program per bucket instead of one per chain length (varying-shape
+    recompiles were crashing XLA CPU in long VI sessions)."""
     K = R_wb.shape[0]
     n_e = K - 1
     infos = jax.vmap(inertial_information)(
         jax.tree.map(lambda a: a, preints)
     )  # (K-1,9,9)
+    if edge_valid is not None:
+        infos = infos * edge_valid[:, None, None].astype(infos.dtype)
 
     # parameter vector: [theta_g(2), log_s(1), bias(6), vel(K*3)]
     def unpack(x):
@@ -94,7 +101,32 @@ def inertial_only_optimization(
         c += prior_gyro * jnp.sum(bias[:3] ** 2) + prior_acc * jnp.sum(bias[3:] ** 2)
         return c
 
-    x0 = jnp.zeros(9 + K * 3)
+    # Informed start (LocalMapping::InitializeIMU, LocalMapping.cc:1197-1221):
+    # starting from zeros has a strong local minimum at scale->0 where the
+    # gravity direction alone explains the preintegrated dV (measured: the
+    # solver returned s=1e-4 on every init attempt).  The reference seeds the
+    # gravity direction from the rotated preintegrated velocity deltas and
+    # velocities from keyframe position differences.
+    ev_mask = (
+        edge_valid.astype(jnp.float32)
+        if edge_valid is not None
+        else jnp.ones(n_e, dtype=jnp.float32)
+    )
+    dV = jax.vmap(lambda i: pre.delta_velocity(jax.tree.map(lambda a: a[i], preints), jnp.zeros(6)))(
+        jnp.arange(n_e)
+    )
+    dirG = -jnp.sum(jnp.einsum("eij,ej->ei", R_wb[:-1], dV) * ev_mask[:, None], axis=0)
+    dirG = dirG / jnp.maximum(jnp.linalg.norm(dirG), 1e-9)
+    gI_hat = jnp.asarray([0.0, 0.0, -1.0])
+    axis = jnp.cross(gI_hat, dirG)
+    s_norm = jnp.linalg.norm(axis)
+    ang = jnp.arctan2(s_norm, jnp.dot(gI_hat, dirG))
+    theta0 = jnp.where(s_norm > 1e-6, axis / jnp.maximum(s_norm, 1e-9) * ang, jnp.zeros(3))
+    # velocities from scaled position differences (dT from the preintegration)
+    dts = preints.dT
+    v_fd = (p_wb[1:] - p_wb[:-1]) / jnp.maximum(dts[:, None], 1e-6)
+    v0 = jnp.concatenate([v_fd, v_fd[-1:]], axis=0)
+    x0 = jnp.concatenate([theta0[:2], jnp.zeros(1), jnp.zeros(6), v0.reshape(-1)])
 
     def lm_iter(carry, _):
         x, lam = carry

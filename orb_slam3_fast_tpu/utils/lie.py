@@ -161,6 +161,26 @@ def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     return so3_right_jacobian(-w)
 
 
+def normalize_rotation_np(R):
+    """Host-numpy SVD re-orthonormalization.
+
+    CRITICAL numerics note: our SE3 stores a raw 3x3 (the reference's Sophus
+    stores a quaternion, normalized by construction).  The tracker's
+    velocity-model chain  vel = R_est @ R_last^T;  pred = vel @ R_last
+    amplifies any orthonormality defect ~x8 PER FRAME in float32 — measured:
+    ||RR^T - I|| goes 1e-7 -> 4e-4 by frame 10 -> 4e-2 by frame 15 -> overflow
+    — which silently corrupted pose optimization (reprojection is largely
+    scale-invariant, so chi2 inliers stayed high while the pose skewed) and
+    collapsed every e2e benchmark around frame 14-18.  Rotations must be
+    projected back to SO(3) at every per-frame storage boundary."""
+    import numpy as _np
+
+    u, _, vt = _np.linalg.svd(_np.asarray(R, dtype=_np.float64))
+    d = _np.sign(_np.linalg.det(u @ vt))
+    u[..., :, 2] *= d[..., None] if _np.ndim(d) else d
+    return (u @ vt).astype(_np.float32)
+
+
 def normalize_rotation(R: jnp.ndarray) -> jnp.ndarray:
     """Re-orthonormalize a near-rotation matrix via SVD (ImuTypes.cc:35-39)."""
     u, _, vt = jnp.linalg.svd(R)

@@ -26,6 +26,8 @@ from tests import synthetic as syn
 
 class DebugMapper(Mapper):
     def _triangulate_new(self, world, k):
+        if not VERBOSE:
+            return super()._triangulate_new(world, k)
         neighbors = world.best_covisible(k, self.cfg.n_neighbors_tri, min_shared=5)
         free_k = (world.kf_obs[k] < 0) & world.kf_kp_valid[k]
         print(f"    [tri] kf{k}: neighbors={list(neighbors)} free_k={free_k.sum()}")
@@ -60,6 +62,8 @@ class DebugMapper(Mapper):
         return super()._triangulate_new(world, k)
 
     def _cull_landmarks(self, world, k):
+        if not VERBOSE:
+            return super()._cull_landmarks(world, k)
         pre = [ids[world.lm_valid[ids]] for ids in self.recent_lm]
         super()._cull_landmarks(world, k)
         for age, alive0 in enumerate(pre):
@@ -93,11 +97,46 @@ class DebugMapper(Mapper):
         return out
 
 
+from orb_slam3_fast_tpu.optim import ba as ba_mod
+
+_orig_bundle_adjust = ba_mod.bundle_adjust
+
+
+def _wrapped_ba(cam, bf, prob, iters1=5, iters2=10):
+    R, t, xw, inlier = _orig_bundle_adjust(cam, bf, prob, iters1=iters1, iters2=iters2)
+    if os.environ.get("DBG_VERBOSE", "1") == "1":
+        import numpy as _np
+
+        v = _np.asarray(prob.obs_valid)
+        inl = _np.asarray(inlier)
+        nv = int(v.sum())
+        bad = int((v & ~inl).sum())
+        # pose delta magnitude of free poses
+        free = ~_np.asarray(prob.pose_fixed)
+        dt = _np.linalg.norm(_np.asarray(R) - _np.asarray(prob.R), axis=(1, 2))
+        dtr = _np.linalg.norm(_np.asarray(t) - _np.asarray(prob.t), axis=1)
+        print(
+            f"    [ba] obs={nv} outliers={bad} ({100.0*bad/max(nv,1):.0f}%) "
+            f"max_dR={dt[free].max() if free.any() else 0:.4f} "
+            f"max_dt={dtr[free].max() if free.any() else 0:.4f}"
+        )
+    return R, t, xw, inlier
+
+
+ba_mod.bundle_adjust = _wrapped_ba
+import orb_slam3_fast_tpu.backend.mapper as mapper_mod
+
+mapper_mod.ba.bundle_adjust = _wrapped_ba
+
 CAM = cam_models.Camera.pinhole(400.0, 400.0, 320.0, 240.0)
+NFEAT = int(os.environ.get("DBG_NFEAT", "768"))
+MAP_RADIUS = float(os.environ.get("DBG_MAP_RADIUS", "3.0"))
+VERBOSE = os.environ.get("DBG_VERBOSE", "1") == "1"
 CFG = trk.TrackerConfig(
-    extractor=ext.ExtractorConfig(n_features=768),
+    extractor=ext.ExtractorConfig(n_features=NFEAT),
     min_init_matches=60,
     motion_radius=25.0,
+    map_radius=MAP_RADIUS,
 )
 
 
@@ -151,6 +190,18 @@ def main(n_frames=150, seed=0):
             f"c_err={err:.3f} step={step_est:.4f}/gt {step_gt:.4f}",
             flush=True,
         )
+        # angular coverage: where do current inliers / recent landmarks sit
+        # in the camera FOV?  bucket by bearing angle (deg, - = trailing edge,
+        # + = leading edge); camera looks along +z with +x = radially outward
+        if pose is not None and t.last is not None and i % 4 == 0:
+            obs = t.last.obs_lm
+            ids = obs[obs >= 0]
+            if len(ids):
+                R, tt = pose
+                xc = t.world.lm_pos[ids] @ R.T + tt
+                ang = np.degrees(np.arctan2(xc[:, 0], xc[:, 2]))
+                hist, _ = np.histogram(ang, bins=8, range=(-40, 40))
+                print(f"      inlier bearing hist(-40..40): {hist.tolist()}")
         if state == trk.LOST:
             break
     print(f"tracked OK: {n_ok}/{n_frames}")

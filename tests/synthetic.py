@@ -15,62 +15,129 @@ from orb_slam3_fast_tpu.cameras import models as cam_models
 from orb_slam3_fast_tpu.utils import lie
 
 
+def _frames_from_normals(normals, rng=None):
+    """Per-splat orthonormal in-plane tangent frames (e1, e2) from normals."""
+    n = normals / np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+    helper = np.where(
+        np.abs(n[:, 2:3]) < 0.9, np.array([[0.0, 0.0, 1.0]]), np.array([[1.0, 0.0, 0.0]])
+    )
+    e1 = np.cross(n, helper)
+    e1 /= np.maximum(np.linalg.norm(e1, axis=-1, keepdims=True), 1e-9)
+    e2 = np.cross(n, e1)
+    return e1.astype(np.float32), e2.astype(np.float32)
+
+
 def make_world(rng, n=500, x=(-12, 12), y=(-6, 6), z=(4, 30), tile=6):
+    centers = np.stack(
+        [rng.uniform(*x, n), rng.uniform(*y, n), rng.uniform(*z, n)], -1
+    ).astype(np.float32)
+    # splats face the origin-ish (toward -z where the camera starts)
+    normals = -centers + np.array([0.0, 0.0, -1.0])
+    e1, e2 = _frames_from_normals(normals, rng)
     return {
-        "centers": np.stack(
-            [rng.uniform(*x, n), rng.uniform(*y, n), rng.uniform(*z, n)], -1
-        ).astype(np.float32),
+        "centers": centers,
         "sizes": rng.uniform(0.2, 0.6, n).astype(np.float32),
         # unique random texture per splat — distinctive descriptors (a flat
         # color per square makes every corner look alike and the ratio test
         # then kills most matches)
         "tex": rng.uniform(40.0, 230.0, (n, tile, tile)).astype(np.float32),
+        "e1": e1,
+        "e2": e2,
     }
 
 
 def render(world, cam, T_cw, wh=(640, 480), bg=30.0):
+    """Perspective render of WORLD-ANCHORED textured quads.
+
+    Each splat is a planar square fixed in world space (center + size * span
+    of its tangent frame e1/e2).  Pixels inside the projected quad sample the
+    texture by ray-plane intersection, so a texture corner is a genuine
+    static 3-D point under ANY camera motion.  (The previous image-space
+    billboard renderer slid texture with camera yaw — features drifted up to
+    ~0.5 * size world units over a feature lifetime on rotation-dominant
+    trajectories, which no real camera produces and which poisoned the
+    rotation benchmarks with unfixable drift.)
+    """
     w, h = wh
     img = np.full((h, w), bg, dtype=np.float32)
-    Xc = np.asarray(T_cw.apply(jnp.asarray(world["centers"])))
-    uv = np.asarray(cam_models.project(cam, jnp.asarray(Xc)))
-    fx = float(cam.params[0])
-    order = np.argsort(-Xc[:, 2])
+    zbuf = np.full((h, w), np.inf, dtype=np.float32)
+    R = np.asarray(T_cw.R, np.float64)
+    t = np.asarray(T_cw.t, np.float64)
+    centers = world["centers"].astype(np.float64)
+    Xc = centers @ R.T + t
+    fx, fy, cx, cy = [float(cam.params[i]) for i in range(4)]
     tile = world["tex"].shape[1]
-    for i in order:
+    e1 = world["e1"].astype(np.float64)
+    e2 = world["e2"].astype(np.float64)
+    sizes = world["sizes"].astype(np.float64)
+    # precompute pixel grid rays (normalized image plane)
+    for i in range(len(centers)):
         z = Xc[i, 2]
         if z < 0.5:
             continue
-        u, v = uv[i]
-        s = world["sizes"][i] * fx / z
-        if s < 3 or u < -s or u > w + s or v < -s or v > h + s:
-            continue
-        u0f = u - s / 2.0
-        v0f = v - s / 2.0
-        cu0, cv0 = max(int(np.floor(u0f)), 0), max(int(np.floor(v0f)), 0)
-        cu1, cv1 = min(int(np.ceil(u0f + s)), w), min(int(np.ceil(v0f + s)), h)
-        if cu1 <= cu0 or cv1 <= cv0:
-            continue
-        # bilinear texture sampling at subpixel splat placement — corners
-        # move smoothly with scale/position instead of snapping to integer
-        # pixels (nearest-neighbor snapping injects ~1px systematic keypoint
-        # drift that dominates the trajectory error budget)
-        ty = (np.arange(cv0, cv1) + 0.5 - v0f) / s * tile - 0.5
-        tx = (np.arange(cu0, cu1) + 0.5 - u0f) / s * tile - 0.5
-        ty = np.clip(ty, 0.0, tile - 1.001)
-        tx = np.clip(tx, 0.0, tile - 1.001)
-        y0 = ty.astype(np.int32)
-        x0 = tx.astype(np.int32)
-        wy = (ty - y0)[:, None]
-        wx = (tx - x0)[None, :]
-        t00 = world["tex"][i][y0[:, None], x0[None, :]]
-        t01 = world["tex"][i][y0[:, None], np.minimum(x0 + 1, tile - 1)[None, :]]
-        t10 = world["tex"][i][np.minimum(y0 + 1, tile - 1)[:, None], x0[None, :]]
-        t11 = world["tex"][i][
-            np.minimum(y0 + 1, tile - 1)[:, None], np.minimum(x0 + 1, tile - 1)[None, :]
-        ]
-        img[cv0:cv1, cu0:cu1] = (
-            t00 * (1 - wy) * (1 - wx) + t01 * (1 - wy) * wx + t10 * wy * (1 - wx) + t11 * wy * wx
+        half = 0.5 * sizes[i]
+        # project the 4 corners
+        corners_w = (
+            centers[i][None, :]
+            + np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float64)
+            @ np.stack([e1[i] * half, e2[i] * half])
         )
+        cc = corners_w @ R.T + t
+        if np.any(cc[:, 2] < 0.2):
+            continue
+        uvq = np.stack([fx * cc[:, 0] / cc[:, 2] + cx, fy * cc[:, 1] / cc[:, 2] + cy], -1)
+        u0 = max(int(np.floor(uvq[:, 0].min())), 0)
+        u1 = min(int(np.ceil(uvq[:, 0].max())) + 1, w)
+        v0 = max(int(np.floor(uvq[:, 1].min())), 0)
+        v1 = min(int(np.ceil(uvq[:, 1].max())) + 1, h)
+        if u1 <= u0 or v1 <= v0 or (u1 - u0) * (v1 - v0) > 200_000:
+            continue
+        # ray-plane intersection for every pixel in the bbox
+        us = (np.arange(u0, u1) + 0.0 - cx) / fx
+        vs = (np.arange(v0, v1) + 0.0 - cy) / fy
+        dirs = np.stack(
+            [np.broadcast_to(us[None, :], (v1 - v0, u1 - u0)),
+             np.broadcast_to(vs[:, None], (v1 - v0, u1 - u0)),
+             np.ones((v1 - v0, u1 - u0))], -1)
+        # plane in camera frame: point pc, spanned by a1, a2; normal nc
+        pc = Xc[i]
+        a1 = R @ e1[i]
+        a2 = R @ e2[i]
+        nc = np.cross(a1, a2)
+        denom = dirs @ nc
+        ok = np.abs(denom) > 1e-9
+        lam = (pc @ nc) / np.where(ok, denom, 1.0)  # ray depth multiplier
+        hit = dirs * lam[..., None]  # camera-frame intersection points
+        rel = hit - pc
+        a = rel @ a1 / (half * 2)  # in [-0.5, 0.5] inside the quad
+        b = rel @ a2 / (half * 2)
+        inside = ok & (lam > 0.2) & (np.abs(a) <= 0.5) & (np.abs(b) <= 0.5)
+        if not inside.any():
+            continue
+        depth = hit[..., 2]
+        zb = zbuf[v0:v1, u0:u1]
+        vis = inside & (depth < zb)
+        if not vis.any():
+            continue
+        # bilinear texture sample at (a, b)
+        txf = np.clip((a + 0.5) * tile - 0.5, 0.0, tile - 1.001)
+        tyf = np.clip((b + 0.5) * tile - 0.5, 0.0, tile - 1.001)
+        x0i = txf.astype(np.int32)
+        y0i = tyf.astype(np.int32)
+        wx = txf - x0i
+        wy = tyf - y0i
+        T_ = world["tex"][i]
+        x1i = np.minimum(x0i + 1, tile - 1)
+        y1i = np.minimum(y0i + 1, tile - 1)
+        val = (
+            T_[y0i, x0i] * (1 - wy) * (1 - wx)
+            + T_[y0i, x1i] * (1 - wy) * wx
+            + T_[y1i, x0i] * wy * (1 - wx)
+            + T_[y1i, x1i] * wy * wx
+        )
+        patch = img[v0:v1, u0:u1]
+        patch[vis] = val[vis]
+        zb[vis] = depth[vis]
     return img
 
 
@@ -112,10 +179,25 @@ def make_corridor_world(rng, n=800, half_w=4.0, half_h=3.0, length=40.0, tile=6)
     walls.append(
         np.stack([rng.uniform(-half_w, half_w, n - 3 * n4), np.full(n - 3 * n4, half_h), zs[3 * n4 :]], -1)
     )
+    # panels tilted toward -z by a RANDOM amount (the camera travels along +z
+    # looking forward; purely sideways-facing panels would render edge-on as
+    # slivers, while a uniform steep tilt makes every nearby panel maximally
+    # perspective-distorted at once — real scenes mix orientations)
+    tilt = rng.uniform(0.7, 3.0, (n, 1))  # w_z: higher = more camera-facing
+    base = np.concatenate([
+        np.tile([1.0, 0.0, 0.0], (n4, 1)),   # left wall faces +x
+        np.tile([-1.0, 0.0, 0.0], (n4, 1)),  # right wall
+        np.tile([0.0, 1.0, 0.0], (n4, 1)),   # floor
+        np.tile([0.0, -1.0, 0.0], (n - 3 * n4, 1)),
+    ])
+    normals = base + tilt * np.array([[0.0, 0.0, -1.0]])
+    e1, e2 = _frames_from_normals(normals)
     return {
         "centers": np.concatenate(walls).astype(np.float32),
         "sizes": rng.uniform(0.15, 0.4, n).astype(np.float32),
         "tex": rng.uniform(40.0, 230.0, (n, tile, tile)).astype(np.float32),
+        "e1": e1,
+        "e2": e2,
     }
 
 
@@ -138,10 +220,21 @@ def make_ring_world(rng, n=1800, r_wall=9.0, half_h=2.5, tile=6):
     zf = np.where(rng.uniform(size=n_fc) < 0.5, -half_h, half_h)
     fc = np.stack([rr * np.cos(a2), rr * np.sin(a2), zf], -1)
     centers = np.concatenate([wall, fc]).astype(np.float32)
+    tilt = rng.uniform(0.7, 3.0, n_fc)
+    normals = np.concatenate([
+        np.stack([-np.cos(a), -np.sin(a), np.zeros(n_wall)], -1),  # wall faces inward
+        # floor/ceiling panels tilted inward by a random amount so a
+        # horizontal camera sees them (flat quads are edge-on to a tangent
+        # view); random tilt mixes orientations like a real scene
+        np.stack([-np.cos(a2), -np.sin(a2), -np.sign(zf) * tilt], -1),
+    ])
+    e1, e2 = _frames_from_normals(normals)
     return {
         "centers": centers,
         "sizes": rng.uniform(0.25, 0.7, n).astype(np.float32),
         "tex": rng.uniform(40.0, 230.0, (n, tile, tile)).astype(np.float32),
+        "e1": e1,
+        "e2": e2,
     }
 
 
