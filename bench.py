@@ -118,6 +118,79 @@ def main():
     jax.block_until_ready((R, t))
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
+
+    # --- per-stage breakdown (dispatch N, block once: device-serial, so
+    # per-call wall time ~ stage device time, tunnel RTT amortized away)
+    def stage_time(fn, args, n_rep=40, chain=None):
+        out = jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        a = args
+        for i in range(n_rep):
+            out = fn(*a)
+            if chain is not None:
+                a = chain(a, out)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_rep * 1e3
+
+    stages = {}
+    f_ex = jax.jit(lambda im: ext.extract(im, cfg))
+    stages["ORB extraction (x2 images)"] = 2 * stage_time(f_ex, (jl[0],))
+    kp_l = jax.block_until_ready(f_ex(jl[0]))
+    kp_r = jax.block_until_ready(f_ex(jr[0]))
+    f_sm = jax.jit(lambda a, b: mat.stereo_match(a, b, scales, bf=bf, min_z=1.0))
+    stages["Stereo matching"] = stage_time(f_sm, (kp_l, kp_r))
+    proj = cam_models.project(cam, jpos)
+    vis = jnp.ones(n_lm, bool)
+    f_sbp = jax.jit(
+        lambda kp, pr, vi, de, lv: mat.search_by_projection(kp, pr, vi, de, lv, scales, radius=6.0)
+    )
+    stages["LM track: projection match"] = stage_time(f_sbp, (kp_l, proj, vis, jdesc, jlvl))
+    idx, accept = jax.block_until_ready(f_sbp(kp_l, proj, vis, jdesc, jlvl))
+    sm = jax.block_until_ready(f_sm(kp_l, kp_r))
+    uvr = jnp.concatenate(
+        [kp_l.xy[idx], jnp.where(accept, sm.right_u[idx], -1.0)[:, None]], axis=1
+    )
+    obs = pose_opt.PoseObs(
+        xw=jpos, uv=uvr, inv_sigma2=jnp.ones(n_lm),
+        is_stereo=accept & (sm.right_u[idx] > 0), valid=accept,
+    )
+    f_po = jax.jit(
+        lambda Rr, tt, o: pose_opt.pose_optimization(cam, jnp.float32(bf), lie.SE3(Rr, tt), o)
+    )
+    stages["Pose optimization (4x10 LM)"] = stage_time(
+        f_po, (jnp.eye(3), jnp.zeros(3), obs),
+        chain=lambda a, out: (out[0].R, out[0].t, a[2]),
+    )
+    lines = [
+        "# RESULTS — per-stage tracking latency on TPU (640x480 stereo)",
+        "",
+        "Pipelined measurement: stages dispatched asynchronously, device-serial",
+        "execution, blocked once per batch (the tracker runs the same way; the",
+        "rig's relay-tunnel RTT of ~30-40 ms/call would otherwise dominate).",
+        "Reference baseline: total 18.11 ms (~55 fps) on a desktop CPU with TBB",
+        "(/root/reference/README.md:5-17).",
+        "",
+        "| Stage | Mean (ms) |",
+        "|---|---|",
+    ]
+    for k, v in stages.items():
+        lines.append(f"| {k} | {v:.2f} |")
+    lines += [
+        f"| **Fused tracking step (pipelined)** | **{dt*1e3:.2f}** |",
+        f"| Blocking per-frame latency (incl. tunnel RTT) | {lat_ms:.2f} |",
+        "",
+        f"Throughput: **{fps:.1f} fps** (baseline 55 fps -> vs_baseline {fps/55.0:.2f}).",
+        "",
+    ]
+    try:
+        import os
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md"), "w") as f:
+            f.write("\n".join(lines))
+    except OSError:
+        pass
+    for k, v in stages.items():
+        print(f"stage {k}: {v:.2f} ms", file=sys.stderr)
     print(f"pipelined step time: {dt*1e3:.2f} ms", file=sys.stderr)
     print(
         json.dumps(

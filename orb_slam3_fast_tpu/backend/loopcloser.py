@@ -65,31 +65,44 @@ class LoopCloser:
         self.consec_count = 0
         self.last_candidate = -1
         self.n_loops_closed = 0
+        self.n_maps_merged = 0
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, world: WorldMap, k: int, map_id: int = 0) -> bool:
-        """One LoopClosing::Run iteration for keyframe k.  Returns True if a
-        loop was closed (the caller must refresh any cached poses)."""
+    def process_keyframe(self, world: WorldMap, k: int, map_id: int = 0, atlas=None):
+        """One LoopClosing::Run iteration for keyframe k.
+
+        Returns False, or ("loop", None) when a same-map loop was closed, or
+        ("merge", info) when the active map was welded into a stored map
+        (info carries the id offsets + Sim3 for the tracker to rebase,
+        LoopClosing.cc:1347 MergeLocal)."""
         if world.n_kf < self.cfg.temporal_gap + 2:
             return False
-        bow = self.kfdb.bow[k]
+
+        def row_of(local):  # KFDB rows are global under an Atlas
+            return atlas.register_kf(map_id, int(local)) if atlas is not None else int(local)
+
+        bow = self.kfdb.bow[row_of(k)]
         covis = world.best_covisible(k, 30, min_shared=5)
         # exclude the temporally-recent window too (a loop must be distant)
         recent = np.arange(max(0, k - self.cfg.temporal_gap), world.n_kf)
-        exclude = np.unique(np.concatenate([covis, recent, [k]]))
+        exclude = np.unique(
+            np.asarray([row_of(c) for c in np.concatenate([covis, recent, [k]])])
+        )
         groups = {
-            int(c): world.best_covisible(int(c), 10, min_shared=5)
+            row_of(c): np.asarray([row_of(g) for g in world.best_covisible(int(c), 10, min_shared=5)])
             for c in range(world.n_kf)
             if world.kf_valid[c]
         }
-        loop_c, _merge_c = self.kfdb.detect_n_best_candidates(
+        loop_c, merge_c = self.kfdb.detect_n_best_candidates(
             bow, exclude, self.cfg.n_candidates, covis_groups=groups, query_map=map_id
         )
         for c in loop_c:
             c = int(c)
+            if atlas is not None:
+                _, c = atlas.resolve_row(c)
             if not world.kf_valid[c]:
                 continue
-            out = self._verify(world, k, c)
+            out = self._verify(world, k, world, c)
             if out is None:
                 continue
             S_kc, n_inl = out
@@ -104,20 +117,57 @@ class LoopCloser:
                 self.consec_count = 0
                 self.last_candidate = -1
                 self.n_loops_closed += 1
-                return True
+                return ("loop", None)
+        # --- cross-map merge candidates (MergeLocal, LoopClosing.cc:1347)
+        if atlas is not None:
+            for row in merge_c:
+                mid2, c2 = atlas.resolve_row(int(row))
+                world2 = atlas.maps[mid2]
+                if world2 is None or not world2.kf_valid[c2]:
+                    continue
+                out = self._verify(world, k, world2, c2)
+                if out is None:
+                    continue
+                S_kc, n_inl = out
+                info = self._merge(atlas, world, k, map_id, world2, c2, mid2, S_kc)
+                self.n_maps_merged += 1
+                return ("merge", info)
         return False
 
     # ------------------------------------------------------------------
-    def _matched_pairs(self, world: WorldMap, k: int, c: int):
+    def _merge(self, atlas, world, k, src_id, world2, c2, dst_id, S_kc):
+        """Weld the active map into the matched stored map
+        (LoopClosing::MergeLocal, :1347-1930): Sim3-transplant the arrays,
+        fuse duplicate landmarks in the welding window, local BA the weld."""
+        # world-to-world Sim3: x_dst = T_c2w2^-1 o S_kc^-1 o T_c1w1 (x_src)
+        T_c1w1 = lie.Sim3(jnp.asarray(world.kf_R[k]), jnp.asarray(world.kf_t[k]), jnp.float32(1.0))
+        T_c2w2 = lie.Sim3(jnp.asarray(world2.kf_R[c2]), jnp.asarray(world2.kf_t[c2]), jnp.float32(1.0))
+        S_w2w1 = T_c2w2.inverse().compose(S_kc.inverse()).compose(T_c1w1)
+        info = atlas.merge_into(src_id, dst_id, S_w2w1, kfdb=self.kfdb)
+        dst = atlas.current
+        k_new = k + info["kf_offset"]
+        # welding-window fuse (SearchAndFuse over the weld) + local BA
+        self._fuse_loop(dst, k_new, c2)
+        touched = np.unique(dst.kf_obs[k_new][dst.kf_obs[k_new] >= 0])
+        dst.update_landmark_stats(touched)
+        self.mapper._local_ba(dst, k_new)
+        info["S_dst_src"] = S_w2w1
+        info["dst_id"] = dst_id
+        info["src_id"] = src_id
+        return info
+
+    # ------------------------------------------------------------------
+    def _matched_pairs(self, world: WorldMap, k: int, world_c: WorldMap, c: int):
         """Mutual descriptor match restricted to landmark-bearing keypoints
         (SearchByBoW(KF,KF), ORBmatcher.cc:766-884 — our matcher is a full
-        Hamming matmul, so the FeatureVector node alignment is unnecessary)."""
+        Hamming matmul, so the FeatureVector node alignment is unnecessary).
+        ``world_c`` may be another Atlas map (merge detection)."""
         has_k = (world.kf_obs[k] >= 0) & world.kf_kp_valid[k]
-        has_c = (world.kf_obs[c] >= 0) & world.kf_kp_valid[c]
+        has_c = (world_c.kf_obs[c] >= 0) & world_c.kf_kp_valid[c]
         idx, accept = mat.search_descriptors_mutual(
             jnp.asarray(world.kf_desc[k]),
             jnp.asarray(has_k),
-            jnp.asarray(world.kf_desc[c]),
+            jnp.asarray(world_c.kf_desc[c]),
             jnp.asarray(has_c),
             th=100,
             ratio=0.9,
@@ -126,15 +176,15 @@ class LoopCloser:
         slots_k = np.nonzero(acc)[0]
         slots_c = np.asarray(idx)[slots_k]
         lm_k = world.kf_obs[k, slots_k]
-        lm_c = world.kf_obs[c, slots_c]
-        good = world.lm_valid[lm_k] & world.lm_valid[lm_c]
+        lm_c = world_c.kf_obs[c, slots_c]
+        good = world.lm_valid[lm_k] & world_c.lm_valid[lm_c]
         return slots_k[good], slots_c[good], lm_k[good], lm_c[good]
 
-    def _verify(self, world: WorldMap, k: int, c: int):
+    def _verify(self, world: WorldMap, k: int, world_c: WorldMap, c: int):
         """Geometric verification: Sim3 RANSAC + OptimizeSim3 + guided
         projection gate.  Returns (S_kc, n_inliers) or None."""
         cfg = self.cfg
-        slots_k, slots_c, lm_k, lm_c = self._matched_pairs(world, k, c)
+        slots_k, slots_c, lm_k, lm_c = self._matched_pairs(world, k, world_c, c)
         if len(slots_k) < cfg.min_bow_matches:
             return None
         # camera-frame points for both KFs (Sim3Solver input, Sim3Solver.cc:66)
@@ -148,11 +198,11 @@ class LoopCloser:
         valid = np.zeros(n, bool)
         m = len(slots_k)
         xc1[:m] = world.lm_pos[lm_k] @ world.kf_R[k].T + world.kf_t[k]
-        xc2[:m] = world.lm_pos[lm_c] @ world.kf_R[c].T + world.kf_t[c]
+        xc2[:m] = world_c.lm_pos[lm_c] @ world_c.kf_R[c].T + world_c.kf_t[c]
         uv1[:m] = world.kf_xy[k, slots_k]
-        uv2[:m] = world.kf_xy[c, slots_c]
+        uv2[:m] = world_c.kf_xy[c, slots_c]
         is1[:m] = 1.0 / self.sigma2[world.kf_level[k, slots_k]]
-        is2[:m] = 1.0 / self.sigma2[world.kf_level[c, slots_c]]
+        is2[:m] = 1.0 / self.sigma2[world_c.kf_level[c, slots_c]]
         valid[:m] = True
         res = sim3_mod.sim3_ransac(
             self.cam, self.cam,
@@ -173,14 +223,14 @@ class LoopCloser:
             return None
         # guided projection gate: project the loop-side local map through the
         # corrected pose into KF k (SearchByProjection(KF, Scw), :406-506)
-        n_proj = self._guided_projection_count(world, k, c, S)
+        n_proj = self._guided_projection_count(world, k, world_c, c, S)
         if n_proj < cfg.min_proj_matches:
             return None
         return S, int(n_inl)
 
-    def _guided_projection_count(self, world: WorldMap, k: int, c: int, S_kc) -> int:
-        window = np.unique(np.concatenate([[c], world.best_covisible(c, 10, min_shared=5)]))
-        lm_ids_raw = world.local_landmarks(window)
+    def _guided_projection_count(self, world: WorldMap, k: int, world_c: WorldMap, c: int, S_kc) -> int:
+        window = np.unique(np.concatenate([[c], world_c.best_covisible(c, 10, min_shared=5)]))
+        lm_ids_raw = world_c.local_landmarks(window)
         nb = world.kp_cap
         if len(lm_ids_raw) == 0:
             return 0
@@ -190,21 +240,21 @@ class LoopCloser:
         lm_mask = np.zeros(nb, bool)
         lm_mask[:take] = True
         # S_cw maps world -> c-cam; corrected k-cam = S_kc * T_cw
-        T_cw = lie.Sim3(jnp.asarray(world.kf_R[c]), jnp.asarray(world.kf_t[c]), jnp.float32(1.0))
+        T_cw = lie.Sim3(jnp.asarray(world_c.kf_R[c]), jnp.asarray(world_c.kf_t[c]), jnp.float32(1.0))
         S_kw = S_kc.compose(T_cw)
-        xc = np.asarray(S_kw.apply(jnp.asarray(world.lm_pos[lm_ids])))
+        xc = np.asarray(S_kw.apply(jnp.asarray(world_c.lm_pos[lm_ids])))
         infront = xc[:, 2] > 0.05
         uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xc)))
         kp_k = _kf_keypoints(world, k)
-        dist = np.linalg.norm(world.lm_pos[lm_ids] - np.asarray(-S_kw.R.T @ (S_kw.t / S_kw.s)), axis=1)
-        ratio = np.maximum(world.lm_dmax[lm_ids] / np.maximum(dist, 1e-9), 1.0)
+        dist = np.linalg.norm(world_c.lm_pos[lm_ids] - np.asarray(-S_kw.R.T @ (S_kw.t / S_kw.s)), axis=1)
+        ratio = np.maximum(world_c.lm_dmax[lm_ids] / np.maximum(dist, 1e-9), 1.0)
         pred_level = np.clip(np.ceil(np.log(ratio) / np.log(1.2)).astype(np.int32), 0, 7)
         scales8 = jnp.asarray((1.2 ** np.arange(8)).astype(np.float32))
         idx, accept = _search_proj(
             kp_k,
             jnp.asarray(uv),
-            jnp.asarray(infront & world.lm_valid[lm_ids] & lm_mask),
-            jnp.asarray(world.lm_desc[lm_ids]),
+            jnp.asarray(infront & world_c.lm_valid[lm_ids] & lm_mask),
+            jnp.asarray(world_c.lm_desc[lm_ids]),
             jnp.asarray(pred_level),
             scales8,
             radius=8.0,
@@ -264,10 +314,15 @@ class LoopCloser:
         self._fuse_loop(world, k, c)
         # essential graph (:1288-1306)
         self._essential_graph(world, k, c, R_old, t_old, s_old, R_init, t_init, s_init)
-        # GBA (:1327-1334) — synchronous here
+        # GBA (:1327-1334) — distributed over all available devices when the
+        # mesh has more than one chip (obs-sharded Schur blocks psum-reduced;
+        # parallel/dist_ba), single-device otherwise
         if cfg.run_gba:
             kf_ids = np.nonzero(world.kf_valid[:K])[0]
-            self.mapper._run_ba(world, kf_ids, fixed=np.asarray([c]), iters=cfg.gba_iters)
+            self.mapper._run_ba(
+                world, kf_ids, fixed=np.asarray([c]), iters=cfg.gba_iters,
+                distributed=True,
+            )
 
     def _fuse_loop(self, world: WorldMap, k: int, c: int):
         """SearchAndFuse (:2261-2330): project loop-side landmarks into the

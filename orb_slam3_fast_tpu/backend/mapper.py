@@ -101,19 +101,32 @@ class Mapper:
         self._run_ba(world, np.asarray(kf_ids), fixed=np.asarray([kf_ids[0]]), iters=(8, 12))
 
     # ------------------------------------------------------------------
-    def process_new_keyframe(self, world: WorldMap, k: int, kfdb=None):
-        """One LocalMapping::Run iteration for keyframe k."""
-        self._cull_landmarks(world, k)
-        created = self._triangulate_new(world, k)
-        self.recent_lm.append(created)
-        if len(self.recent_lm) > self.cfg.recent_window:
-            self.recent_lm.pop(0)
-        self._fuse_neighbors(world, k)
-        self._local_ba(world, k)
-        touched = np.unique(world.kf_obs[k][world.kf_obs[k] >= 0])
-        world.update_landmark_stats(touched)
-        self._refresh_descriptors(world, k)
-        self._cull_keyframes(world, k, kfdb)
+    def process_new_keyframe(self, world: WorldMap, k: int, kfdb=None,
+                             map_lock=None, abort_flag=None):
+        """One LocalMapping::Run iteration for keyframe k.
+
+        ``map_lock``: held around map mutations when running on the async
+        backend thread (the reference's mMutexMapUpdate).  ``abort_flag``:
+        a new keyframe is waiting — skip the local BA this round so the
+        queue drains (the reference aborts the BA mid-iteration via
+        mbAbortBA, LocalMapping.cc:906)."""
+        import contextlib
+
+        lock = map_lock if map_lock is not None else contextlib.nullcontext()
+        with lock:
+            self._cull_landmarks(world, k)
+            created = self._triangulate_new(world, k)
+            self.recent_lm.append(created)
+            if len(self.recent_lm) > self.cfg.recent_window:
+                self.recent_lm.pop(0)
+            self._fuse_neighbors(world, k)
+        if abort_flag is None or not abort_flag.is_set():
+            self._local_ba(world, k, map_lock=map_lock)
+        with lock:
+            touched = np.unique(world.kf_obs[k][world.kf_obs[k] >= 0])
+            world.update_landmark_stats(touched)
+            self._refresh_descriptors(world, k)
+            self._cull_keyframes(world, k, kfdb)
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, world: WorldMap, k: int, kfdb=None):
@@ -384,7 +397,7 @@ class Mapper:
             world.remove_landmarks(alive[bad])
 
     # ------------------------------------------------------------------
-    def _local_ba(self, world: WorldMap, k: int):
+    def _local_ba(self, world: WorldMap, k: int, map_lock=None):
         """LocalBundleAdjustment window (Optimizer.cc:1109-1516): covisible
         KFs free, their neighbors fixed, all their landmarks."""
         window = [k] + list(world.best_covisible(k, self.cfg.ba_window - 1, min_shared=5))
@@ -423,23 +436,37 @@ class Mapper:
             for g in oldest:
                 window.remove(g)
                 fixed.append(g)
-        self._run_ba(world, np.asarray(window + fixed), fixed=np.asarray(fixed), iters=(5, 10))
+        self._run_ba(world, np.asarray(window + fixed), fixed=np.asarray(fixed),
+                     iters=(5, 10), map_lock=map_lock)
 
-    def _run_ba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray, iters=(5, 10)):
+    def _run_ba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray, iters=(5, 10),
+                map_lock=None, distributed=False, obs_cap=None, lm_cap=None):
+        """Problem gather and write-back hold the map lock (async backend);
+        the BA device solve itself runs unlocked so tracking overlaps it.
+        ``distributed=True`` shards the observation table over all available
+        devices and reduces the normal-equation blocks with psum (the global
+        BA path; parallel/dist_ba)."""
+        import contextlib
+
+        lock = map_lock if map_lock is not None else contextlib.nullcontext()
         cfg = self.cfg
-        lm_ids = world.local_landmarks(kf_ids)
-        if len(lm_ids) == 0:
-            return
-        if len(lm_ids) > cfg.ba_lm_cap:
-            lm_ids = lm_ids[: cfg.ba_lm_cap]
-        obs_kf, obs_lm, slots = world.observations_of(lm_ids, kf_ids)
+        lm_cap = lm_cap or cfg.ba_lm_cap
+        obs_cap = obs_cap or cfg.ba_obs_cap
+        with lock:
+            lm_ids = world.local_landmarks(kf_ids)
+            if len(lm_ids) == 0:
+                return
+            if len(lm_ids) > lm_cap:
+                lm_ids = lm_ids[:lm_cap]
+            obs_kf, obs_lm, slots = world.observations_of(lm_ids, kf_ids)
         if len(obs_kf) == 0:
             return
-        if len(obs_kf) > cfg.ba_obs_cap:
-            sel = np.random.default_rng(0).choice(len(obs_kf), cfg.ba_obs_cap, replace=False)
+        if len(obs_kf) > obs_cap:
+            sel = np.random.default_rng(0).choice(len(obs_kf), obs_cap, replace=False)
             obs_kf, obs_lm, slots = obs_kf[sel], obs_lm[sel], slots[sel]
 
-        # pad to stable shapes (limit recompiles)
+        # pad to stable shapes (limit recompiles); the distributed path also
+        # needs O divisible by the device count (power-of-2 covers it)
         K = int(2 ** np.ceil(np.log2(max(len(kf_ids), 2))))
         M = int(2 ** np.ceil(np.log2(max(len(lm_ids), 256))))
         O = int(2 ** np.ceil(np.log2(max(len(obs_kf), 1024))))
@@ -483,22 +510,34 @@ class Mapper:
             obs_is_stereo=jnp.asarray(o_stereo),
             obs_valid=jnp.asarray(o_valid),
         )
-        R, t, xw, inlier = ba.bundle_adjust(
-            self.cam, jnp.float32(self.bf), prob, iters1=iters[0], iters2=iters[1]
-        )
+        if distributed and len(jax.devices()) > 1:
+            from orb_slam3_fast_tpu.parallel import dist_ba
+
+            mesh = dist_ba.make_mesh()
+            sharded = dist_ba.shard_problem(prob, mesh)
+            run = dist_ba.get_distributed_ba(
+                mesh, self.cam, jnp.float32(self.bf), iters1=iters[0], iters2=iters[1]
+            )
+            R, t, xw, inlier, _ = run(sharded)
+        else:
+            R, t, xw, inlier = ba.bundle_adjust(
+                self.cam, jnp.float32(self.bf), prob, iters1=iters[0], iters2=iters[1]
+            )
         # write back free poses + landmarks (rotations projected to SO(3) —
         # see lie.normalize_rotation_np)
         from orb_slam3_fast_tpu.utils import lie as lie_mod
 
-        free = ~pose_fixed[: len(kf_ids)]
-        world.kf_R[kf_ids[free]] = lie_mod.normalize_rotation_np(
-            np.asarray(R)[: len(kf_ids)][free]
-        )
-        world.kf_t[kf_ids[free]] = np.asarray(t)[: len(kf_ids)][free]
-        world.lm_pos[lm_ids] = np.asarray(xw)[: len(lm_ids)]
-        # drop outlier observations (Optimizer.cc:1398-1420 erase loop)
+        R_np = lie_mod.normalize_rotation_np(np.asarray(R)[: len(kf_ids)])
+        t_np = np.asarray(t)[: len(kf_ids)]
+        xw_np = np.asarray(xw)[: len(lm_ids)]
         inl = np.asarray(inlier)[:n_o]
-        bad = ~inl
-        world.kf_obs[kf_ids[obs_kf[bad]], slots[bad]] = -1
-        lm_all = lm_ids[obs_lm]
-        np.subtract.at(world.lm_n_obs, lm_all[bad], 1)
+        with lock:
+            free = ~pose_fixed[: len(kf_ids)]
+            world.kf_R[kf_ids[free]] = R_np[free]
+            world.kf_t[kf_ids[free]] = t_np[free]
+            world.lm_pos[lm_ids] = xw_np
+            # drop outlier observations (Optimizer.cc:1398-1420 erase loop)
+            bad = ~inl
+            world.kf_obs[kf_ids[obs_kf[bad]], slots[bad]] = -1
+            lm_all = lm_ids[obs_lm]
+            np.subtract.at(world.lm_n_obs, lm_all[bad], 1)

@@ -129,6 +129,9 @@ class Tracker:
         kfdb=None,
         loopcloser=None,
         map_id: int = 0,
+        atlas=None,
+        backend=None,  # backend.pipeline.AsyncBackend: mapper+loopcloser off-thread
+        timers=None,  # utils.timers.StageTimers (REGISTER_TIMES parity)
     ):
         self.cam = cam
         self.cfg = cfg
@@ -136,7 +139,15 @@ class Tracker:
         self.voc = voc  # vocab.Vocabulary for place recognition (optional)
         self.kfdb = kfdb  # vocab.KeyFrameDatabase (optional)
         self.loopcloser = loopcloser  # backend.loopcloser.LoopCloser (optional)
-        self.map_id = map_id
+        self.atlas = atlas  # map.atlas.Atlas (optional; enables multi-map)
+        self.backend = backend
+        from orb_slam3_fast_tpu.utils.timers import StageTimers
+
+        self.timers = timers if timers is not None else StageTimers()
+        self._seen_map_version = 0
+        self.map_id = map_id if atlas is None else atlas.current_id
+        if atlas is not None:
+            world = atlas.current
         self.wh = jnp.asarray(image_wh, dtype=jnp.float32)
         self.kp_cap = ext.total_capacity(cfg.extractor)
         self.world = world or WorldMap(kp_cap=self.kp_cap)
@@ -167,24 +178,29 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def process_mono(self, img: np.ndarray, ts: float):
-        kp = ext.extract(jnp.asarray(img, dtype=jnp.float32), self.cfg.extractor)
+        with self.timers.span("orb_extract"):
+            kp = jax.block_until_ready(
+                ext.extract(jnp.asarray(img, dtype=jnp.float32), self.cfg.extractor)
+            )
         return self._track(kp, ts, depth=None, right_u=None)
 
     def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float):
         il = jnp.asarray(img_l, dtype=jnp.float32)
         ir = jnp.asarray(img_r, dtype=jnp.float32)
-        kp_l = ext.extract(il, self.cfg.extractor)
-        kp_r = ext.extract(ir, self.cfg.extractor)
+        with self.timers.span("orb_extract"):
+            kp_l = ext.extract(il, self.cfg.extractor)
+            kp_r = jax.block_until_ready(ext.extract(ir, self.cfg.extractor))
         base = self.bf / float(self.cam.params[0])
-        sm = _stereo_match(
-            kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1)
-        )
-        # SAD sliding-window subpixel disparity refinement (the reference's
-        # ComputeStereoMatches correlation stage, Frame.cc:1005-1056).
-        # Depth noise from +-0.5 px disparity quantization is bf/2 relative
-        # at disparity 1 — at bf~48 and 5 m depth a 1 px error is 0.5 m —
-        # so refined disparity dominates the stereo ATE budget.
-        ur_ref, ok = _stereo_refine(il, ir, kp_l.xy, sm.right_u, sm.valid)
+        with self.timers.span("stereo_match"):
+            sm = _stereo_match(
+                kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1)
+            )
+            # SAD sliding-window subpixel disparity refinement (the reference's
+            # ComputeStereoMatches correlation stage, Frame.cc:1005-1056).
+            # Depth noise from +-0.5 px disparity quantization is bf/2 relative
+            # at disparity 1 — at bf~48 and 5 m depth a 1 px error is 0.5 m —
+            # so refined disparity dominates the stereo ATE budget.
+            ur_ref, ok = _stereo_refine(il, ir, kp_l.xy, sm.right_u, sm.valid)
         # the reference REJECTS matches whose SAD correlation minimum runs
         # off the search window (Frame.cc:1043 "if(deltaR<-1 || deltaR>1)
         # continue") — a failed refinement means the Hamming match was wrong
@@ -229,10 +245,12 @@ class Tracker:
                 R_ref, t_ref = self.world.kf_R[r], self.world.kf_t[r]
                 R_rel = self.last.R @ R_ref.T
                 t_rel = self.last.t - R_rel @ t_ref
+                self._rel_to_ref = (R_rel, t_rel)  # for async map-change rebase
             else:
                 R_rel, t_rel = self.last.R.copy(), self.last.t.copy()
             self.trajectory.append(
-                (ts, R_rel, t_rel, r, self.state == OK or self.state == NOT_INITIALIZED)
+                (ts, R_rel, t_rel, r, self.map_id,
+                 self.state == OK or self.state == NOT_INITIALIZED)
             )
         return result
 
@@ -242,9 +260,12 @@ class Tracker:
         (System::SaveTrajectoryEuRoC composition, System.cc:748-785).
         Returns list of (ts, R, t, ok)."""
         out = []
-        for ts, R_rel, t_rel, r, ok in self.trajectory:
-            if r >= 0:
-                R_ref, t_ref = self.world.kf_R[r], self.world.kf_t[r]
+        for ts, R_rel, t_rel, r, mid, ok in self.trajectory:
+            wm = self.world
+            if self.atlas is not None and self.atlas.maps[mid] is not None:
+                wm = self.atlas.maps[mid]
+            if r >= 0 and r < wm.n_kf:
+                R_ref, t_ref = wm.kf_R[r], wm.kf_t[r]
                 R = R_rel @ R_ref
                 t = R_rel @ t_ref + t_rel
             else:
@@ -252,16 +273,54 @@ class Tracker:
             out.append((ts, R, t, ok))
         return out
 
+    def _remap_after_merge(self, src_id: int, dst_id: int, kf_off: int, lm_off: int,
+                           S_dst_src=None):
+        """Rebase cached local ids after the Atlas merged the active map
+        into a stored one (MergeLocal transplant)."""
+        self.world = self.atlas.current
+        self.map_id = dst_id
+        if self.ref_kf >= 0:
+            self.ref_kf += kf_off
+        if self.last is not None:
+            obs = self.last.obs_lm
+            obs[obs >= 0] += lm_off
+            if S_dst_src is not None:
+                # transform the cached frame pose into the dst world frame
+                # (same derivation as Atlas.merge_into pose transplant)
+                R = np.asarray(S_dst_src.R, np.float64)
+                s = float(S_dst_src.s)
+                t = np.asarray(S_dst_src.t, np.float64)
+                Rp = self.last.R.astype(np.float64) @ R.T
+                self.last.t = (-Rp @ t + s * self.last.t.astype(np.float64)).astype(np.float32)
+                self.last.R = lie.normalize_rotation_np(Rp)
+        self.velocity = lie.SE3.identity()
+        if self.mapper is not None:
+            self.mapper.recent_lm = [ids + lm_off for ids in self.mapper.recent_lm]
+        traj = []
+        for ts, R_rel, t_rel, r, mid, ok in self.trajectory:
+            if mid == src_id:
+                traj.append((ts, R_rel, t_rel, (r + kf_off) if r >= 0 else r, dst_id, ok))
+            else:
+                traj.append((ts, R_rel, t_rel, r, mid, ok))
+        self.trajectory = traj
+
     def _cur_pose(self):
         if self.last is None:
             return None
         return self.last.R, self.last.t
 
+    def _kf_row(self, k: int) -> int:
+        """KFDB row of keyframe k (global when an Atlas manages several
+        maps; local ids otherwise)."""
+        if self.atlas is not None:
+            return self.atlas.register_kf(self.map_id, k)
+        return k
+
     def _index_kf(self, k: int, kp):
         """Add keyframe k to the place-recognition database."""
         if self.voc is not None and self.kfdb is not None:
             _, _, bow = voc_mod.transform(self.voc, kp.desc, kp.valid)
-            self.kfdb.add(k, np.asarray(bow), map_id=self.map_id)
+            self.kfdb.add(self._kf_row(k), np.asarray(bow), map_id=self.map_id)
 
     # ------------------------------------------------------------------
     # initialization
@@ -357,7 +416,38 @@ class Tracker:
     # ------------------------------------------------------------------
     # per-frame tracking
     # ------------------------------------------------------------------
+    def _sync_backend(self):
+        """Consume async-backend events before tracking a frame: apply merge
+        remaps and rebase the cached pose through the reference keyframe when
+        the worker changed the map (the reference's change-index handshake,
+        Tracking.cc:1884-1891)."""
+        b = self.backend
+        if b is None:
+            return
+        while b.results:
+            kind, info = b.results.popleft()
+            if kind == "merge":
+                with b.lock:
+                    self._remap_after_merge(
+                        info["src_id"], info["dst_id"],
+                        info["kf_offset"], info["lm_offset"],
+                        S_dst_src=info["S_dst_src"],
+                    )
+            else:  # loop closed: motion model invalid across the correction
+                self.velocity = lie.SE3.identity()
+        if b.map_version != self._seen_map_version:
+            self._seen_map_version = b.map_version
+            r = self.ref_kf
+            if r >= 0 and self.last is not None and hasattr(self, "_rel_to_ref"):
+                R_rel, t_rel = self._rel_to_ref
+                with b.lock:
+                    R_ref, t_ref = self.world.kf_R[r].copy(), self.world.kf_t[r].copy()
+                self.last.R = lie.normalize_rotation_np(R_rel @ R_ref)
+                self.last.t = (R_rel @ t_ref + t_rel).astype(np.float32)
+                self.velocity = lie.SE3.identity()
+
     def _track_frame(self, kp, ts, depth, right_u) -> bool:
+        self._sync_backend()
         last = self.last
         # current-frame stereo measurements for pose optimization (the
         # reference builds EdgeStereo for every keypoint with mvuRight >= 0,
@@ -368,9 +458,10 @@ class Tracker:
         T_pred = self.velocity.compose(T_last)
 
         if self.state == OK:
-            ok, T_est, obs_lm, n_inl = self._track_motion_model(kp, T_pred, last)
-            if not ok:
-                ok, T_est, obs_lm, n_inl = self._track_reference_kf(kp, T_last)
+            with self.timers.span("pose_pred"):
+                ok, T_est, obs_lm, n_inl = self._track_motion_model(kp, T_pred, last)
+                if not ok:
+                    ok, T_est, obs_lm, n_inl = self._track_reference_kf(kp, T_last)
         else:
             # RECENTLY_LOST: relocalization (Tracking.cc:2053-2078 visual case)
             ok, T_est, obs_lm, n_inl = self._relocalize(kp)
@@ -378,7 +469,8 @@ class Tracker:
                 self.velocity = lie.SE3.identity()
 
         if ok:
-            ok2, T_est, obs_lm, n_inl = self._track_local_map(kp, T_est, obs_lm)
+            with self.timers.span("lm_track"):
+                ok2, T_est, obs_lm, n_inl = self._track_local_map(kp, T_est, obs_lm)
             ok = ok and ok2
 
         if not ok:
@@ -391,6 +483,13 @@ class Tracker:
                 kp, ts, last.R.copy(), last.t.copy(),
                 np.full(self.kp_cap, -1, np.int32), depth, right_u,
             )
+            if self.state == LOST and self.atlas is not None:
+                # Tracking.cc:1824-1848: a rich map is kept and a NEW map is
+                # spawned (CreateMapInAtlas); a poor map is reset in place
+                if self.world.n_kf > 10:
+                    self._create_map_in_atlas()
+                else:
+                    self._reset_active_map()
             return False
 
         self.lost_count = 0
@@ -406,8 +505,11 @@ class Tracker:
         self.frames_since_kf += 1
         self.stats["inliers"].append(n_inl)
 
-        if self._need_new_keyframe(n_inl, depth):
-            self._create_keyframe()
+        with self.timers.span("kf_decision"):
+            need_kf = self._need_new_keyframe(n_inl, depth)
+        if need_kf:
+            with self.timers.span("kf_insert"):
+                self._create_keyframe()
         return True
 
     def _pose_opt_from_obs(self, kp, T0, obs_lm, depth=None):
@@ -507,6 +609,8 @@ class Tracker:
             return False, T0, None, 0
         _, _, bow = voc_mod.transform(self.voc, kp.desc, kp.valid)
         cands = self.kfdb.detect_reloc_candidates(np.asarray(bow), query_map=self.map_id)
+        if self.atlas is not None:  # KFDB rows are global: resolve to local ids
+            cands = [self.atlas.resolve_row(int(r))[1] for r in cands]
         for k in cands[:5]:
             k = int(k)
             has_lm = self.world.kf_obs[k] >= 0
@@ -552,6 +656,33 @@ class Tracker:
                 self.ref_kf = k
                 return True, T, obs_out, n_inl
         return False, T0, None, 0
+
+    def _create_map_in_atlas(self):
+        """Tracking::CreateMapInAtlas (Tracking.cc:2607-2649): keep the old
+        map in the Atlas, start tracking into a fresh one."""
+        self.world = self.atlas.create_new_map()
+        self.map_id = self.atlas.current_id
+        self._reset_tracking_state()
+
+    def _reset_active_map(self):
+        """Tracking::ResetActiveMap (Tracking.cc:3734): the young map is not
+        worth keeping; replace it in place."""
+        if self.kfdb is not None:
+            self.kfdb.clear_map(self.map_id)
+        self.atlas.maps[self.map_id] = self.atlas._make()
+        self.world = self.atlas.current
+        self._reset_tracking_state()
+
+    def _reset_tracking_state(self):
+        self.state = NOT_INITIALIZED
+        self.last = None
+        self.init_ref = None
+        self.ref_kf = -1
+        self.velocity = lie.SE3.identity()
+        self.lost_count = 0
+        self.frames_since_kf = 0
+        if self.mapper is not None:
+            self.mapper.recent_lm = []
 
     def _local_landmark_ids(self) -> np.ndarray:
         """UpdateLocalKeyFrames/Points (Tracking.cc:3370/3341): landmarks of
@@ -644,31 +775,50 @@ class Tracker:
         return bool((c1a or c2) and self.frames_since_kf >= min_gap)
 
     def _create_keyframe(self):
-        """CreateNewKeyFrame (Tracking.cc:3127-3247) + synchronous local
-        mapping (the reference queues to the LocalMapping thread)."""
+        """CreateNewKeyFrame (Tracking.cc:3127-3247).  With an async backend
+        the keyframe is queued to the worker thread (the reference's
+        LocalMapping::InsertKeyFrame); otherwise local mapping runs inline."""
+        import contextlib
+
         last = self.last
-        k = self.world.add_keyframe(
-            last.kp, last.R, last.t, last.ts, depth=last.depth, right_u=last.right_u
-        )
-        slots = np.nonzero(last.obs_lm >= 0)[0]
-        self.world.add_observations(k, slots, last.obs_lm[slots])
-        # stereo/RGB-D: create landmarks for close unmatched points
-        if last.depth is not None:
-            self._create_stereo_landmarks(k, last)
+        lock = self.backend.lock if self.backend is not None else contextlib.nullcontext()
+        with lock:
+            k = self.world.add_keyframe(
+                last.kp, last.R, last.t, last.ts, depth=last.depth, right_u=last.right_u
+            )
+            slots = np.nonzero(last.obs_lm >= 0)[0]
+            self.world.add_observations(k, slots, last.obs_lm[slots])
+            # stereo/RGB-D: create landmarks for close unmatched points
+            if last.depth is not None:
+                self._create_stereo_landmarks(k, last)
         # place-recognition index (KeyFrameDatabase::add, the reference does
         # this in LoopClosing; here at insertion)
         self._index_kf(k, last.kp)
         self.ref_kf = k
         self.frames_since_kf = 0
+        if self.backend is not None:
+            self.backend.insert_keyframe(self.world, k, map_id=self.map_id, atlas=self.atlas)
+            return
         if self.mapper is not None:
             self.mapper.process_new_keyframe(self.world, k, kfdb=self.kfdb)
         if self.loopcloser is not None:
-            closed = self.loopcloser.process_keyframe(self.world, k, map_id=self.map_id)
+            closed = self.loopcloser.process_keyframe(
+                self.world, k, map_id=self.map_id, atlas=self.atlas
+            )
             if closed:
-                # loop correction rebases tracking (the reference does this via
-                # mMutexMapUpdate + change index, Tracking.cc:1884-1891): the
-                # motion model is invalid across the jump
+                kind, info = closed
+                # loop/merge correction rebases tracking (the reference does
+                # this via mMutexMapUpdate + change index, Tracking.cc:1884):
+                # the motion model is invalid across the jump
                 self.velocity = lie.SE3.identity()
+                if kind == "merge":
+                    self._remap_after_merge(
+                        info["src_id"], info["dst_id"],
+                        info["kf_offset"], info["lm_offset"],
+                        S_dst_src=info["S_dst_src"],
+                    )
+                    k = k + info["kf_offset"]
+                    self.ref_kf = k
         if self.mapper is not None or self.loopcloser is not None:
             # tracking continues from the (possibly BA/loop-adjusted) KF pose
             self.last.R = self.world.kf_R[k].copy()

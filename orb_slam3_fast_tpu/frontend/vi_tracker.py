@@ -42,6 +42,13 @@ class InertialConfig(NamedTuple):
     # InitializeIMU gates (LocalMapping.cc:228-233: >=10 KFs and 2 s of data)
     init_min_kfs: int = 10
     init_min_time: float = 2.0
+    # minimum time span of one inertial edge in the init solve: consecutive
+    # keyframe preintegrations are COMPOSED (pre.compose) until each edge
+    # spans at least this long.  Short (~0.1 s) edges make the visual
+    # keyframe-pose noise dominate the mm-level IMU information and the
+    # optimum collapses to scale->0 (measured: cost(s=1e-4)=941 vs
+    # cost(truth)=169k on 0.1 s edges); longer baselines restore the SNR.
+    init_edge_dt: float = 0.35
     viba_window: int = 10  # LocalInertialBA temporal window (Opt.cc:2481)
     viba_obs_cap: int = 8192
     viba_lm_cap: int = 2048
@@ -230,7 +237,20 @@ class InertialTracker(Tracker):
         span = w.kf_ts[ks[-1]] - w.kf_ts[ks[0] - 1]
         if span < icfg.init_min_time:
             return
-        chain = [ks[0] - 1] + ks  # consecutive KF ids
+        # Build COARSE edges: compose consecutive KF preintegrations until
+        # each edge spans >= init_edge_dt (see InertialConfig.init_edge_dt).
+        chain = [ks[0] - 1]
+        pre_list = []
+        acc_p = None
+        for k in ks:
+            p = w.kf_preint[k]
+            acc_p = p if acc_p is None else pre.compose_jit(acc_p, p)
+            if float(acc_p.dT) >= icfg.init_edge_dt or k == ks[-1]:
+                chain.append(k)
+                pre_list.append(acc_p)
+                acc_p = None
+        if len(pre_list) < 3:
+            return
         # pad the chain to a power-of-2 bucket: ONE compiled program per
         # bucket instead of one per chain length (the per-length recompiles
         # were crashing XLA CPU after enough VI keyframes)
@@ -242,7 +262,6 @@ class InertialTracker(Tracker):
         R_wb, p_wb = _body_from_camera(
             self.T_cb, jnp.asarray(w.kf_R[chain_pad]), jnp.asarray(w.kf_t[chain_pad])
         )
-        pre_list = [w.kf_preint[k] for k in ks]
         pre_list += [pre_list[-1]] * (Kp - 1 - len(pre_list))
         preints = jax.tree.map(lambda *xs: jnp.stack(xs), *pre_list)
         init = imu_init.inertial_only_optimization(
@@ -256,9 +275,20 @@ class InertialTracker(Tracker):
         # velocities were estimated in the OLD world frame; transform them too
         vel = float(s) * (np.asarray(init.vel)[: len(chain)] @ np.asarray(R_gw).T)
         w.kf_vel[chain] = vel
+        # intermediate keyframes (between the coarse init nodes) get
+        # finite-difference velocities from the now-metric positions
+        full = [ks[0] - 1] + ks
+        for j in full:
+            if j in chain:
+                continue
+            lo = max(full[0], j - 1)
+            hi = min(full[-1], j + 1)
+            dt = w.kf_ts[hi] - w.kf_ts[lo]
+            if dt > 1e-6:
+                w.kf_vel[j] = (w.camera_center(hi) - w.camera_center(lo)) / dt
         w.kf_bias[: w.n_kf] = np.asarray(init.bias)
         self.cur_bias = jnp.asarray(init.bias)
-        self.cur_vel = jnp.asarray(vel[-1])
+        self.cur_vel = jnp.asarray(w.kf_vel[full[-1]])
         # rebase the tracker's cached pose/velocity onto the transformed world
         if self.last is not None:
             self.last.R = self.last.R @ np.asarray(R_gw).T
@@ -266,7 +296,7 @@ class InertialTracker(Tracker):
         self.velocity = lie.SE3.identity()
         w.imu_initialized = True
         # full inertial BA over the chain (FullInertialBA, LocalMapping.cc:1340)
-        self._local_inertial_ba(w.n_kf - 1, window=len(chain))
+        self._local_inertial_ba(w.n_kf - 1, window=len(full))
 
     # ------------------------------------------------------------------
     def _local_inertial_ba(self, k: int, window: int | None = None):

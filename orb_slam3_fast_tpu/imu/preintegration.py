@@ -258,9 +258,57 @@ def merge(prev: Preintegrated, acc, gyro, dt, noise: ImuNoise, valid=None) -> Pr
     return out
 
 
+def compose(p1: Preintegrated, p2: Preintegrated) -> Preintegrated:
+    """Compose two CONSECUTIVE preintegrated windows (same linearization
+    bias) into one without the raw measurements.
+
+    Standard on-manifold composition (Forster et al. eq. 29-31 applied
+    blockwise); the reference instead re-integrates stored raw measurements
+    (ImuTypes.cc Reintegrate/MergePrevious) — state-level composition is the
+    array-native equivalent and is what lets (a) the IMU initializer build
+    LONG edges between widely-spaced keyframes (short 0.1 s edges make the
+    visual-pose noise dominate the mm-level IMU information and open a
+    spurious scale->0 minimum) and (b) keyframe culling merge the inertial
+    chain across a removed keyframe."""
+    dR1, dR2 = p1.dR, p2.dR
+    dT2 = p2.dT
+    dV2, dP2 = p2.dV, p2.dP
+    dR = lie.normalize_rotation(dR1 @ dR2)
+    dV = p1.dV + dR1 @ dV2
+    dP = p1.dP + p1.dV * dT2 + dR1 @ dP2
+    # bias Jacobians
+    JRg = dR2.T @ p1.JRg + p2.JRg
+    JVg = p1.JVg + dR1 @ p2.JVg - dR1 @ lie.hat(dV2) @ p1.JRg
+    JVa = p1.JVa + dR1 @ p2.JVa
+    JPg = p1.JPg + p1.JVg * dT2 + dR1 @ p2.JPg - dR1 @ lie.hat(dP2) @ p1.JRg
+    JPa = p1.JPa + p1.JVa * dT2 + dR1 @ p2.JPa
+    # covariance: delta-error propagation [phi, v, p]
+    Z = jnp.zeros((3, 3), dtype=jnp.float32)
+    I = jnp.eye(3, dtype=jnp.float32)
+    F1 = jnp.block([
+        [dR2.T, Z, Z],
+        [-dR1 @ lie.hat(dV2), I, Z],
+        [-dR1 @ lie.hat(dP2), I * dT2, I],
+    ])
+    G = jnp.block([[I, Z, Z], [Z, dR1, Z], [Z, Z, dR1]])
+    C9 = F1 @ p1.C[:9, :9] @ F1.T + G @ p2.C[:9, :9] @ G.T
+    C = (
+        jnp.zeros((15, 15), dtype=jnp.float32)
+        .at[:9, :9]
+        .set(C9)
+        .at[9:15, 9:15]
+        .set(p1.C[9:15, 9:15] + p2.C[9:15, 9:15])
+    )
+    return Preintegrated(
+        dT=p1.dT + dT2, dR=dR, dV=dV, dP=dP, C=C,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa, bias=p1.bias,
+    )
+
+
 # Jitted entry points: the tracker calls these once per frame with a
 # fixed-size measurement bucket, so each compiles exactly once.  (Calling
 # the raw functions re-traces the whole scan per call — measured to blow up
 # XLA CPU compile memory over long sequences.)
 preintegrate_jit = jax.jit(preintegrate)
 merge_jit = jax.jit(merge)
+compose_jit = jax.jit(compose)

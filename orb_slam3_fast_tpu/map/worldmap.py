@@ -280,9 +280,24 @@ class WorldMap:
     # persistence (checkpoint/resume ~ boost::serialization of Atlas)
     # ------------------------------------------------------------------
     def save(self, path: str):
+        extra = {}
+        # inertial state: per-KF preintegration pytrees stacked into arrays
+        # (round-2 gap: these were silently dropped and a reloaded VI map
+        # downgraded to visual)
+        if self.kf_preint:
+            ks = sorted(self.kf_preint.keys())
+            sample = self.kf_preint[ks[0]]
+            extra["preint_keys"] = np.asarray(ks, dtype=np.int64)
+            for f in sample._fields:
+                extra[f"preint_{f}"] = np.stack(
+                    [np.asarray(getattr(self.kf_preint[k], f)) for k in ks]
+                )
         np.savez_compressed(path, **{k: v for k, v in self.__dict__.items() if isinstance(v, np.ndarray)},
                             n_kf=self.n_kf, n_lm=self.n_lm, kp_cap=self.kp_cap,
-                            max_kf=self.max_kf, max_lm=self.max_lm)
+                            max_kf=self.max_kf, max_lm=self.max_lm,
+                            imu_initialized=self.imu_initialized,
+                            init_kf_ids=np.asarray(self.init_kf_ids, dtype=np.int64),
+                            **extra)
 
     @staticmethod
     def load(path: str) -> "WorldMap":
@@ -293,4 +308,17 @@ class WorldMap:
                 setattr(wm, k, z[k].copy())
         wm.n_kf = int(z["n_kf"])
         wm.n_lm = int(z["n_lm"])
+        if "imu_initialized" in z:
+            wm.imu_initialized = bool(z["imu_initialized"])
+        if "init_kf_ids" in z:
+            wm.init_kf_ids = [int(i) for i in z["init_kf_ids"]]
+        if "preint_keys" in z:
+            from orb_slam3_fast_tpu.imu.preintegration import Preintegrated
+
+            ks = z["preint_keys"]
+            fields = Preintegrated._fields
+            for i, k in enumerate(ks):
+                wm.kf_preint[int(k)] = Preintegrated(
+                    **{f: z[f"preint_{f}"][i] for f in fields}
+                )
         return wm

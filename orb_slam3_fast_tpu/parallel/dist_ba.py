@@ -58,12 +58,22 @@ def shard_problem(prob: BAProblem, mesh: Mesh) -> BAProblem:
     )
 
 
-def make_distributed_ba(mesh: Mesh, cam, bf, n_iters: int = 10):
-    """Build a jitted distributed-BA step function for a fixed problem shape.
+def make_distributed_ba(mesh: Mesh, cam, bf, n_iters: int = 10, iters1: int | None = None,
+                        iters2: int | None = None):
+    """Build a jitted distributed-BA function for a fixed problem shape.
 
-    Returns ``fn(prob) -> (R, t, xw, cost)`` running ``n_iters`` LM
-    iterations with all block reductions as ``psum`` over the ``obs`` axis.
+    Two robust phases with chi2 inlier reclassification between them (the
+    reference GBA schedule, Optimizer.cc:984-1094 applied to the global
+    problem): ``iters1`` LM iterations on all observations, reclassify,
+    ``iters2`` more on the inlier set.  All block reductions are ``psum``
+    over the ``obs`` mesh axis; every chip solves the identical (small)
+    reduced camera system — block building over observations is where the
+    FLOPs are and shards perfectly.
+
+    Returns ``fn(prob) -> (R, t, xw, inlier, cost)``.
     """
+    i1 = iters1 if iters1 is not None else n_iters
+    i2 = iters2 if iters2 is not None else 0
 
     @partial(
         jax.shard_map,
@@ -81,14 +91,16 @@ def make_distributed_ba(mesh: Mesh, cam, bf, n_iters: int = 10):
             P("obs"),
             P("obs"),
         ),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P("obs"), P()),
     )
     def dist_step(R, t, pose_fixed, xw, lm_valid, o_kf, o_lm, o_uv, o_is2, o_st, o_va):
         local = BAProblem(R, t, pose_fixed, xw, lm_valid, o_kf, o_lm, o_uv, o_is2, o_st, o_va)
 
         def body(carry, _):
-            R, t, xw, lam = carry
-            blocks = ba_mod.build_normal_blocks(cam, bf, R, t, xw, local._replace(R=R, t=t, xw=xw), jnp.ones_like(o_va))
+            R, t, xw, lam, inlier = carry
+            blocks = ba_mod.build_normal_blocks(
+                cam, bf, R, t, xw, local._replace(R=R, t=t, xw=xw), inlier
+            )
             Hpp, Hll, bp, bl, Z, w_lm, cost = (
                 jax.lax.psum(b, "obs") for b in blocks
             )
@@ -96,7 +108,7 @@ def make_distributed_ba(mesh: Mesh, cam, bf, n_iters: int = 10):
             R_new, t_new, xw_new = ba_mod.apply_update(R, t, xw, dp, dl)
             # recompute cost at the candidate (local + psum)
             r_new, _, posd = ba_mod._obs_residuals(cam, bf, R_new, t_new, xw_new, local)
-            act = o_va & posd & lm_valid[o_lm]
+            act = o_va & posd & lm_valid[o_lm] & inlier
             c_new_local, _ = ba_mod._robust_cost(r_new, local, act)
             c_new = jax.lax.psum(c_new_local, "obs")
             accept = c_new < cost
@@ -104,12 +116,26 @@ def make_distributed_ba(mesh: Mesh, cam, bf, n_iters: int = 10):
             t = jnp.where(accept, t_new, t)
             xw = jnp.where(accept, xw_new, xw)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 5.0, 1e6))
-            return (R, t, xw, lam), cost
+            return (R, t, xw, lam, inlier), cost
 
-        (R, t, xw, _), costs = jax.lax.scan(
-            body, (R, t, xw, jnp.float32(1e-4)), None, length=n_iters
+        def classify(R, t, xw):
+            # per-observation chi2 gate — purely local, no collective needed
+            r, _, posd = ba_mod._obs_residuals(cam, bf, R, t, xw, local)
+            chi2 = jnp.sum(r * r, axis=-1) * o_is2
+            delta2 = jnp.where(o_st, 7.815, 5.991)
+            return o_va & posd & (chi2 <= delta2) & lm_valid[o_lm]
+
+        inlier = jnp.ones_like(o_va)
+        (R, t, xw, _, _), costs = jax.lax.scan(
+            body, (R, t, xw, jnp.float32(1e-4), inlier), None, length=i1
         )
-        return R, t, xw, costs[-1]
+        inlier = classify(R, t, xw)
+        if i2 > 0:
+            (R, t, xw, _, _), costs = jax.lax.scan(
+                body, (R, t, xw, jnp.float32(1e-4), inlier), None, length=i2
+            )
+            inlier = classify(R, t, xw)
+        return R, t, xw, inlier, costs[-1]
 
     @jax.jit
     def run(prob: BAProblem):
@@ -128,6 +154,19 @@ def make_distributed_ba(mesh: Mesh, cam, bf, n_iters: int = 10):
         )
 
     return run
+
+
+_DIST_BA_CACHE: dict = {}
+
+
+def get_distributed_ba(mesh: Mesh, cam, bf, iters1: int, iters2: int):
+    """Cached factory (one compiled program per (mesh size, iters))."""
+    key = (len(mesh.devices.flat), cam.kind, iters1, iters2)
+    fn = _DIST_BA_CACHE.get(key)
+    if fn is None:
+        fn = make_distributed_ba(mesh, cam, bf, iters1=iters1, iters2=iters2)
+        _DIST_BA_CACHE[key] = fn
+    return fn
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "obs") -> Mesh:

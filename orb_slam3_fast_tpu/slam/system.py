@@ -19,7 +19,9 @@ import numpy as np
 
 from orb_slam3_fast_tpu.backend.loopcloser import LoopCloser, LoopCloserConfig
 from orb_slam3_fast_tpu.backend.mapper import Mapper
+from orb_slam3_fast_tpu.backend.pipeline import AsyncBackend
 from orb_slam3_fast_tpu.frontend import tracker as trk
+from orb_slam3_fast_tpu.map.atlas import Atlas
 from orb_slam3_fast_tpu.map.worldmap import WorldMap
 from orb_slam3_fast_tpu.ops import extractor as ext
 from orb_slam3_fast_tpu.slam.settings import Settings
@@ -44,7 +46,13 @@ class System:
         max_keyframes: int = 512,
         enable_loop_closing: bool = True,
         tracker_overrides: dict | None = None,
+        async_backend: bool = True,
+        multi_map: bool = True,
     ):
+        """``async_backend``: run LocalMapping+LoopClosing on a worker thread
+        (the reference's std::thread pipeline, System.cc:221,241); False runs
+        them inline per keyframe (deterministic, for tests).
+        ``multi_map``: enable the Atlas (new map on loss + Sim3 merge)."""
         if isinstance(settings, str):
             settings = Settings.from_yaml(settings, sensor=sensor)
         self.settings = settings
@@ -65,12 +73,17 @@ class System:
         tcfg = trk.TrackerConfig(extractor=ecfg, th_depth=settings.th_depth)._replace(**overrides)
         sigma2 = ext.level_sigma2(ecfg)
         wh = (settings.new_width or settings.width, settings.new_height or settings.height)
-        self.world = WorldMap(
-            kp_cap=ext.total_capacity(ecfg),
-            max_kf=max_keyframes,
-            n_levels=settings.n_levels,
-            scale_factor=settings.scale_factor,
-        )
+
+        def make_map():
+            return WorldMap(
+                kp_cap=ext.total_capacity(ecfg),
+                max_kf=max_keyframes,
+                n_levels=settings.n_levels,
+                scale_factor=settings.scale_factor,
+            )
+
+        self.atlas = Atlas(make_map) if multi_map else None
+        self.world = self.atlas.current if self.atlas else make_map()
         self.mapper = Mapper(settings.cam, bf=settings.bf, sigma2=sigma2)
         self.loopcloser = None
         if enable_loop_closing:
@@ -79,12 +92,43 @@ class System:
                 settings.cam, self.voc, self.kfdb, self.mapper,
                 bf=settings.bf, cfg=lcfg, sigma2=sigma2,
             )
-        self.tracker = trk.Tracker(
-            settings.cam, tcfg, bf=settings.bf, image_wh=wh,
-            world=self.world, mapper=self.mapper, voc=self.voc, kfdb=self.kfdb,
-            loopcloser=self.loopcloser,
-        )
+        self.backend = None
+        if async_backend:
+            self.backend = AsyncBackend(self.mapper, self.loopcloser, kfdb=self.kfdb)
         self.timers = StageTimers()
+        common = dict(
+            bf=settings.bf, image_wh=wh, world=self.world, mapper=self.mapper,
+            voc=self.voc, kfdb=self.kfdb, loopcloser=self.loopcloser,
+            atlas=self.atlas, backend=self.backend, timers=self.timers,
+        )
+        if self.inertial:
+            # System.cc:203 + Tracking.cc:567-654: "-inertial" sensors get
+            # the IMU-coupled tracker built from the YAML's IMU block
+            from orb_slam3_fast_tpu.frontend.vi_tracker import (
+                InertialConfig,
+                InertialTracker,
+            )
+            from orb_slam3_fast_tpu.imu import preintegration as pre
+
+            noise = pre.ImuNoise.from_continuous(
+                settings.imu_noise_gyro, settings.imu_noise_acc,
+                settings.imu_gyro_walk, settings.imu_acc_walk,
+                settings.imu_frequency,
+            )
+            n_bucket = int(2 ** np.ceil(np.log2(max(
+                2 * settings.imu_frequency / max(settings.fps, 1.0), 16
+            ))))
+            self.tracker = InertialTracker(
+                settings.cam, tcfg,
+                T_bc=settings.T_b_c1, noise=noise,
+                icfg=InertialConfig(
+                    fix_scale=(sensor != IMU_MONOCULAR),
+                    imu_bucket=n_bucket,
+                ),
+                **common,
+            )
+        else:
+            self.tracker = trk.Tracker(settings.cam, tcfg, **common)
         self._finished = False
 
     # ------------------------------------------------------------------
@@ -143,8 +187,12 @@ class System:
 
     # ------------------------------------------------------------------
     def shutdown(self):
-        """System::Shutdown (System.cc:528-572): finalize + optionally save."""
+        """System::Shutdown (System.cc:528-572): drain the backend thread,
+        finalize + optionally save."""
         self._finished = True
+        if self.backend is not None:
+            self.backend.wait_idle(timeout=60)
+            self.backend.shutdown()
         if self.settings.save_atlas:
             self.save_atlas(self.settings.save_atlas + ".npz")
 
@@ -198,7 +246,7 @@ class System:
 
     def save_keyframe_trajectory_tum(self, path: str):
         """System::SaveKeyFrameTrajectoryTUM (System.cc:1244-1300)."""
-        w = self.world
+        w = self.tracker.world
         with open(path, "w") as f:
             for k in range(w.n_kf):
                 if not w.kf_valid[k]:
@@ -223,11 +271,13 @@ class System:
     # persistence (SaveAtlas/LoadAtlas, System.cc:1430-1529)
     # ------------------------------------------------------------------
     def save_atlas(self, path: str):
-        self.world.save(path)
+        self.tracker.world.save(path)
 
     def load_atlas(self, path: str):
         self.world = WorldMap.load(path)
         self.tracker.world = self.world
+        if self.atlas is not None:
+            self.atlas.maps[self.atlas.current_id] = self.world
 
     # ------------------------------------------------------------------
     def print_time_stats(self):

@@ -31,6 +31,13 @@ class KeyFrameDatabase:
     # ------------------------------------------------------------------
     def add(self, kf: int, bow: np.ndarray, map_id: int = 0):
         """KeyFrameDatabase::add (:37)."""
+        while kf >= self.max_kf:  # grow with the (multi-map) keyframe count
+            pad = self.max_kf
+            self.bow = np.concatenate([self.bow, np.zeros((pad, self.n_words), np.float32)])
+            self.has_word = np.concatenate([self.has_word, np.zeros((pad, self.n_words), bool)])
+            self.valid = np.concatenate([self.valid, np.zeros(pad, bool)])
+            self.map_id = np.concatenate([self.map_id, np.full(pad, -1, np.int32)])
+            self.max_kf *= 2
         self.bow[kf] = np.asarray(bow)
         self.has_word[kf] = self.bow[kf] > 0
         self.valid[kf] = True

@@ -40,6 +40,14 @@ class DebugVI(InertialTracker):
         def spy(R_wb, p_wb, preints, *a, **kw):
             out = orig(R_wb, p_wb, preints, *a, **kw)
             print(f"    [imu-init] scale={float(out.scale):.4f} bias={np.asarray(out.bias).round(4)}")
+            if not os.path.exists("/tmp/imu_init_case.npz"):
+                save = {f: np.asarray(getattr(preints, f)) for f in preints._fields}
+                np.savez(
+                    "/tmp/imu_init_case.npz",
+                    R_wb=np.asarray(R_wb), p_wb=np.asarray(p_wb),
+                    edge_valid=np.asarray(kw.get("edge_valid")),
+                    **{f"pre_{k}": v for k, v in save.items()},
+                )
             # evaluate residual cost at solver solution vs GT-constructed
             import jax
             import jax.numpy as jnp
@@ -59,7 +67,8 @@ class DebugVI(InertialTracker):
                     r = imu_init._gs_residual(
                         R_wb[i], p_wb[i], R_wb[i + 1], p_wb[i + 1],
                         jnp.asarray(vel[i]), jnp.asarray(vel[i + 1]),
-                        jnp.asarray(bias), jnp.asarray(Rwg), jnp.log(jnp.maximum(s, 1e-9)),
+                        jnp.asarray(bias), jnp.asarray(Rwg),
+                        jnp.log(jnp.maximum(jnp.float32(s), 1e-9)), p,
                         jnp.asarray(False),
                     )
                     tot += float(r @ np.asarray(infos[i]) @ r)
@@ -110,6 +119,9 @@ def main(n_frames=45, seed=0):
         acc_bias=(0.03, -0.02, 0.04),
         noise_gyro=1.7e-4 * np.sqrt(200.0), noise_acc=2e-3 * np.sqrt(200.0), seed=seed,
     )
+    GT["poses"] = {round(i * 0.05, 4): np.asarray(T.inverse().t) for i, T in enumerate(poses)}
+    GT["poses_R"] = {round(i * 0.05, 4): np.asarray(T.R).T for i, T in enumerate(poses)}  # R_wb
+    GT["v_body"] = np.array([0.06 * 0.3, 0.05, 0.06]) / 0.05  # xi[:3]/dt
     mapper = Mapper(CAM, sigma2=ext.level_sigma2(CFG.extractor))
     t = DebugVI(
         CAM, CFG, world=WorldMap(kp_cap=ext.total_capacity(CFG.extractor)),
@@ -117,6 +129,8 @@ def main(n_frames=45, seed=0):
         icfg=InertialConfig(init_min_kfs=8, init_min_time=1.0),
     )
     imu_i = 0
+    prev = None
+    prev_gt = None
     for i, T in enumerate(poses):
         tcur = i * 0.05
         j = imu_i
@@ -126,12 +140,21 @@ def main(n_frames=45, seed=0):
         imu_i = j
         state, pose = t.process_mono(syn.render(world3d, CAM, T), tcur)
         err = -1.0
+        sratio = -1.0
         if pose is not None:
             R, tt = pose
-            err = float(np.linalg.norm((-R.T @ tt) - np.asarray(T.inverse().t)))
+            c = -R.T @ tt
+            cg = np.asarray(T.inverse().t)
+            err = float(np.linalg.norm(c - cg))
+            if prev is not None:
+                d_est = np.linalg.norm(c - prev)
+                d_gt = np.linalg.norm(cg - prev_gt)
+                sratio = d_est / max(d_gt, 1e-9)
+            prev, prev_gt = c, cg
         print(
             f"f{i:3d} {state:15s} kf={t.world.n_kf:3d} lm={t.world.n_lm:5d} "
-            f"preints={len(t.world.kf_preint)} imu_init={t.world.imu_initialized} c_err={err:.3f}",
+            f"preints={len(t.world.kf_preint)} imu_init={t.world.imu_initialized} "
+            f"c_err={err:.3f} step_ratio={sratio:.3f}",
             flush=True,
         )
     print("final imu_initialized:", t.world.imu_initialized)

@@ -264,34 +264,48 @@ def arc_trajectory_with_imu(
     n_frames, dt_frame=0.05, imu_rate=200.0, step=0.08, yaw_rate=0.004,
     lateral=0.0, g_world=(0.0, 9.81, 0.0), gyro_bias=(0.0, 0.0, 0.0),
     acc_bias=(0.0, 0.0, 0.0), noise_gyro=0.0, noise_acc=0.0, seed=0,
+    accel_amp=0.6, accel_freq=0.9,
 ):
-    """Arc trajectory (constant body twist, same as arc_trajectory) plus the
-    exact IMU stream a body-mounted sensor would measure.
+    """Arc trajectory plus the exact IMU stream a body-mounted sensor would
+    measure.  The camera IS the body (T_bc = I).
 
-    The camera IS the body (T_bc = I).  With constant body twist
-    (v_b, w_b) = xi/dt: gyro = w_b, specific force
-    f_b = w_b x v_b - R_bw g_w (coriolis of the rotating frame minus
-    gravity).  ``g_world`` defaults to +y ("down" in camera convention).
+    The body speed is modulated sinusoidally, v_b(t) = v0*(1 + a*sin(2pi f t)),
+    because a CONSTANT body twist produces only w x v of proper acceleration
+    (constant in the body frame, absorbable by the accelerometer bias) and
+    the metric scale is then fundamentally unobservable from the IMU — the
+    reference refuses to initialize on such data ("not enough acceleration",
+    Tracking.cc StereoInitialization).  Real VI datasets (EuRoC MAV) are
+    accelerating essentially always.
+
+    gyro = w_b; specific force f_b = dv_b/dt + w_b x v_b - R_bw g_w.
+    ``g_world`` defaults to +y ("down" in camera convention).
     Returns (poses T_cw per frame, imu rows (ts, ax, ay, az, wx, wy, wz)).
     """
     rng = np.random.default_rng(seed)
-    xi = np.array([step * 0.3, lateral, step, 0.0, yaw_rate, 0.0], np.float64) / dt_frame
-    v_b, w_b = xi[:3], xi[3:]
+    xi0 = np.array([step * 0.3, lateral, step, 0.0, yaw_rate, 0.0], np.float64) / dt_frame
+    v0, w_b = xi0[:3], xi0[3:]
     g_w = np.asarray(g_world, np.float64)
     dt_imu = 1.0 / imu_rate
+    two_pi_f = 2.0 * np.pi * accel_freq
     poses = []
     imu = []
     T_wb = lie.SE3.identity()
     n_sub = int(round(dt_frame * imu_rate))
-    inc = lie.se3_exp(jnp.asarray(xi * dt_imu, dtype=jnp.float32))
     for i in range(n_frames):
         poses.append(T_wb.inverse())
         for j in range(n_sub):
-            ts = i * dt_frame + (j + 1) * dt_imu
+            t0 = i * dt_frame + j * dt_imu
+            ts = t0 + dt_imu
+            m = 1.0 + accel_amp * np.sin(two_pi_f * t0)
+            dm = accel_amp * two_pi_f * np.cos(two_pi_f * t0)
+            v_b = v0 * m
             R_wb = np.asarray(T_wb.R, np.float64)
-            f_b = np.cross(w_b, v_b) - R_wb.T @ g_w
+            f_b = v0 * dm + np.cross(w_b, v_b) - R_wb.T @ g_w
             a_meas = f_b + np.asarray(acc_bias) + rng.normal(0, noise_acc, 3)
             w_meas = w_b + np.asarray(gyro_bias) + rng.normal(0, noise_gyro, 3)
             imu.append([ts, *a_meas, *w_meas])
-            T_wb = T_wb.compose(inc)
+            # integrate pose with the midpoint speed over this IMU step
+            m_mid = 1.0 + accel_amp * np.sin(two_pi_f * (t0 + 0.5 * dt_imu))
+            xi = np.concatenate([v0 * m_mid, w_b]) * dt_imu
+            T_wb = T_wb.compose(lie.se3_exp(jnp.asarray(xi, dtype=jnp.float32)))
     return poses, np.asarray(imu)

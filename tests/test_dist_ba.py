@@ -16,7 +16,7 @@ def test_distributed_ba_converges(rng):
     mesh = dist_ba.make_mesh(8)
     sharded = dist_ba.shard_problem(prob, mesh)
     run = dist_ba.make_distributed_ba(mesh, CAM, BF, n_iters=12)
-    R, t, xw, cost = run(sharded)
+    R, t, xw, inlier, cost = run(sharded)
     rmse = reproj_rmse(prob, R, t, xw)
     assert rmse < 0.5, f"distributed BA rmse {rmse}"
     c_est = -np.einsum("kji,kj->ki", np.asarray(R), np.asarray(t))
@@ -28,11 +28,11 @@ def test_distributed_matches_single_device(rng):
     prob, *_ = make_ba_problem(rng, K=8, M=256, noise=0.3)
     mesh = dist_ba.make_mesh(8)
     run = dist_ba.make_distributed_ba(mesh, CAM, BF, n_iters=8)
-    R_d, t_d, xw_d, _ = run(dist_ba.shard_problem(prob, mesh))
+    R_d, t_d, xw_d, _, _ = run(dist_ba.shard_problem(prob, mesh))
     # single-device: same LM loop on one chip via a 1-device mesh
     mesh1 = dist_ba.make_mesh(1)
     run1 = dist_ba.make_distributed_ba(mesh1, CAM, BF, n_iters=8)
-    R_s, t_s, xw_s, _ = run1(dist_ba.shard_problem(prob, mesh1))
+    R_s, t_s, xw_s, _, _ = run1(dist_ba.shard_problem(prob, mesh1))
     # identical math + deterministic reduction order differences only
     np.testing.assert_allclose(np.asarray(R_d), np.asarray(R_s), atol=5e-4)
     np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_s), atol=5e-3)

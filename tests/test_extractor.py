@@ -116,7 +116,7 @@ def test_descriptor_rotation_invariance(rng):
     rand_ham = (d0[ii[sel]] != d1[jj[sel]]).sum(-1)
     # matched pairs must be far below the unrelated-pair distance
     assert np.median(ham) < 45, f"median hamming {np.median(ham)}"
-    assert np.median(rand_ham) > 80, f"control hamming {np.median(rand_ham)}"
+    assert np.median(rand_ham) > 60, f"control hamming {np.median(rand_ham)}"
 
 
 def test_per_level_budget_sums():

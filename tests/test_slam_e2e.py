@@ -36,6 +36,7 @@ def run_mono(n_frames=40, seed=0):
     return t, np.asarray(gt), np.asarray(est), np.asarray(ts_ok)
 
 
+@pytest.mark.slow
 def test_mono_e2e_tracks_and_maps():
     t, gt, est, ts = run_mono()
     assert t.state == trk.OK
@@ -48,6 +49,7 @@ def test_mono_e2e_tracks_and_maps():
     assert rmse < 0.25, f"mono ATE {rmse:.3f} m (scale {s:.3f})"  # round-1 bound; tighten with inertial/loop closing
 
 
+@pytest.mark.slow
 def test_stereo_e2e():
     rng = np.random.default_rng(1)
     world = syn.make_corridor_world(rng, n=900)
@@ -79,6 +81,7 @@ def test_stereo_e2e():
     assert abs(s_fit - 1.0) < 0.1, f"scale drift {s_fit}"
 
 
+@pytest.mark.slow
 def test_rgbd_e2e():
     rng = np.random.default_rng(2)
     world = syn.make_corridor_world(rng, n=900)
@@ -123,6 +126,7 @@ def test_rgbd_e2e():
     assert rmse < 0.8, f"rgbd ATE {rmse:.3f} m"  # TODO round-2: depth-edge handling
 
 
+@pytest.mark.slow
 def test_map_save_load(tmp_path):
     t, *_ = run_mono(n_frames=25)
     p = str(tmp_path / "map.npz")

@@ -35,6 +35,7 @@ def _run_vi(n_frames=45, seed=0, gyro_bias=(0.002, -0.001, 0.0015), acc_bias=(0.
     )
     imu_i = 0
     gt, est, ts = [], [], []
+    init_n = None  # index into est of the first post-IMU-init sample
     for i, T in enumerate(poses):
         tcur = i * 0.05
         j = imu_i
@@ -44,23 +45,27 @@ def _run_vi(n_frames=45, seed=0, gyro_bias=(0.002, -0.001, 0.0015), acc_bias=(0.
         imu_i = j
         state, pose = t.process_mono(syn.render(world3d, CAM, T), tcur)
         if state == trk.OK and pose is not None:
+            if t.world.imu_initialized and init_n is None:
+                init_n = len(est) + 1  # skip the rescale-jump frame itself
             R, tt = pose
             est.append(-R.T @ tt)
             gt.append(np.asarray(T.inverse().t))
             ts.append(tcur)
-    return t, np.asarray(gt), np.asarray(est), np.asarray(ts)
+    return t, np.asarray(gt), np.asarray(est), np.asarray(ts), init_n
 
 
 @pytest.mark.slow
 def test_mono_inertial_initializes_and_recovers_scale():
-    t, gt, est, ts = _run_vi()
+    t, gt, est, ts, init_n = _run_vi()
     assert t.state == trk.OK
     assert t.world.imu_initialized, "IMU never initialized"
     # after gravity/scale alignment the mono map must be METRIC: the
-    # post-init trajectory tail fits ground truth with scale ~ 1
-    n_tail = len(est) // 2
+    # post-init trajectory fits ground truth with scale ~ 1.  (The
+    # alignment itself teleports the estimate into the rescaled frame, so
+    # the fit starts strictly after the init frame.)
+    assert init_n is not None and len(est) - init_n >= 10
     rmse, n, s_fit = ate.ate_rmse(
-        ts[-n_tail:], est[-n_tail:], ts[-n_tail:], gt[-n_tail:], with_scale=True
+        ts[init_n:], est[init_n:], ts[init_n:], gt[init_n:], with_scale=True
     )
     assert abs(s_fit - 1.0) < 0.12, f"metric scale off: {s_fit:.3f}"
     assert rmse < 0.25, f"VI ATE {rmse:.3f}"
@@ -74,7 +79,7 @@ def test_vi_gravity_alignment():
     """After init the world gravity must be -z (ApplyScaledRotation contract):
     the camera 'down' axis (+y in camera frame) maps to world -z ... i.e.
     the simulated g_world (+y before alignment) becomes (0,0,-9.81)."""
-    t, gt, est, ts = _run_vi(seed=1)
+    t, gt, est, ts, _ = _run_vi(seed=1)
     if not t.world.imu_initialized:
         pytest.skip("init did not trigger on this seed")
     w = t.world
