@@ -112,6 +112,7 @@ _search_frame_to_frame = jax.jit(mat.search_frame_to_frame)
 _search_for_initialization = jax.jit(mat.search_for_initialization)
 _stereo_match = jax.jit(mat.stereo_match, static_argnames=("bf", "min_z"))
 _stereo_refine = jax.jit(mat.stereo_subpixel_refine)
+_fisheye_match = jax.jit(mat.fisheye_stereo_match)
 
 
 class Tracker:
@@ -123,6 +124,8 @@ class Tracker:
         cfg: TrackerConfig = TrackerConfig(),
         bf: float = 0.0,
         image_wh: tuple = (640, 480),
+        cam2: cam_models.Camera | None = None,  # right camera (fisheye stereo)
+        T_c1_c2: np.ndarray | None = None,  # left->right extrinsics (4,4): T of c2 in c1
         world: Optional[WorldMap] = None,
         mapper=None,
         voc=None,
@@ -136,6 +139,17 @@ class Tracker:
         self.cam = cam
         self.cfg = cfg
         self.bf = float(bf)
+        self.cam2 = cam2
+        # fisheye/two-camera stereo: R_rl, t_rl map LEFT-cam points to the
+        # RIGHT camera (T_c1_c2 is the pose of cam2 in cam1 -> invert)
+        self.T_rl = None
+        if T_c1_c2 is not None:
+            T = np.asarray(T_c1_c2, np.float64)
+            R_lr, t_lr = T[:3, :3], T[:3, 3]
+            self.T_rl = (
+                jnp.asarray(R_lr.T, dtype=jnp.float32),
+                jnp.asarray(-R_lr.T @ t_lr, dtype=jnp.float32),
+            )
         self.voc = voc  # vocab.Vocabulary for place recognition (optional)
         self.kfdb = kfdb  # vocab.KeyFrameDatabase (optional)
         self.loopcloser = loopcloser  # backend.loopcloser.LoopCloser (optional)
@@ -190,6 +204,22 @@ class Tracker:
         with self.timers.span("orb_extract"):
             kp_l = ext.extract(il, self.cfg.extractor)
             kp_r = jax.block_until_ready(ext.extract(ir, self.cfg.extractor))
+        if self.cam2 is not None and self.T_rl is not None:
+            # non-rectified two-camera path (fisheye/KB8): match + triangulate
+            # (Frame::ComputeStereoFishEyeMatches + TriangulateMatches)
+            with self.timers.span("stereo_match"):
+                fm = _fisheye_match(
+                    self.cam, self.cam2, kp_l, kp_r,
+                    self.T_rl[0], self.T_rl[1],
+                    jnp.asarray(self.sigma2),
+                )
+            depth = np.asarray(fm.depth)
+            # no rectified right-u coordinate exists: pose optimization uses
+            # mono edges; metric scale is anchored through the triangulated
+            # landmark depths (the reference's fisheye "ToBody" edges are the
+            # planned refinement)
+            ru = np.full(depth.shape, -1.0, np.float32)
+            return self._track(kp_l, ts, depth=depth, right_u=ru)
         base = self.bf / float(self.cam.params[0])
         with self.timers.span("stereo_match"):
             sm = _stereo_match(
@@ -334,7 +364,10 @@ class Tracker:
         """Stereo/RGB-D init (Tracking::StereoInitialization, Tracking.cc:2294):
         first frame with >= 500 depth points becomes KF 0 at origin."""
         good = np.asarray(kp.valid) & (depth > 0)
-        if good.sum() < 300:
+        # reference gate is 500 KEYPOINTS (StereoInitialization "N > 500");
+        # a fisheye 10 cm baseline yields far fewer triangulated DEPTHS than
+        # rectified stereo, so gate on keypoints + a modest depth count
+        if np.asarray(kp.valid).sum() < 500 or good.sum() < 100:
             return False
         R0, t0 = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
         k0 = self.world.add_keyframe(kp, R0, t0, ts, depth=depth, right_u=right_u)

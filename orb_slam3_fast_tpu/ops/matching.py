@@ -261,6 +261,88 @@ def search_for_triangulation(
     return b_ab.idx, accept
 
 
+class FisheyeStereoMatches(NamedTuple):
+    depth: jnp.ndarray  # (Nl,) left-camera z of the triangulated point (-1 invalid)
+    x3d: jnp.ndarray  # (Nl,3) triangulated point in the LEFT camera frame
+    idx: jnp.ndarray  # (Nl,) matched right keypoint index
+    valid: jnp.ndarray  # (Nl,) bool
+
+
+def fisheye_stereo_match(
+    cam_l,
+    cam_r,
+    kp_l: Keypoints,
+    kp_r: Keypoints,
+    R_rl: jnp.ndarray,
+    t_rl: jnp.ndarray,
+    level_sigma2: jnp.ndarray,
+    ratio: float = 0.7,
+    th_dist: int = ham.TH_HIGH,
+    min_parallax_cos: float = 0.9998,
+):
+    """Non-rectified two-camera (fisheye) stereo matching + triangulation.
+
+    TPU-native replacement for ``Frame::ComputeStereoFishEyeMatches``
+    (``/root/reference/src/Frame.cc:1273-1331``: cv::BFMatcher::knnMatch with
+    a 0.7 ratio test) + ``KannalaBrandt8::TriangulateMatches``
+    (``KannalaBrandt8.cpp:341-436``: parallax gate, DLT triangulation from
+    unprojected bearings, depth + reprojection chi2 gates in BOTH views).
+    One Hamming matmul + batched DLT instead of per-keypoint loops.
+
+    ``R_rl, t_rl``: left-camera -> right-camera transform (from the YAML's
+    Stereo.T_c1_c2 inverted).  Returns per-LEFT-keypoint results.
+    """
+    from orb_slam3_fast_tpu.cameras import models as cm
+    from orb_slam3_fast_tpu.ops import twoview as tv
+
+    d = ham.hamming_matrix(kp_l.desc, kp_r.desc)
+    mask = kp_l.valid[:, None] & kp_r.valid[None, :]
+    b = ham.masked_best2(d, mask)
+    b_rl = ham.masked_best2(d.T, mask.T)
+    accept = ham.ratio_gate(b, ratio, th_dist)
+    accept = accept & ham.mutual_consistency(b.idx, b_rl.idx)
+
+    # bearings (unit-z rays) in each camera
+    r1 = cm.unproject(cam_l, kp_l.xy)  # (Nl,3)
+    r2_all = cm.unproject(cam_r, kp_r.xy)
+    r2 = r2_all[b.idx]
+    # parallax between the rays expressed in the LEFT frame
+    r2_in_l = jnp.einsum("ji,nj->ni", R_rl, r2)  # R_lr = R_rl^T
+    cosp = jnp.sum(r1 * r2_in_l, axis=-1) / (
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2_in_l, axis=-1)
+    )
+    accept = accept & (cosp < min_parallax_cos)
+
+    # batched DLT: P1 = [I|0], P2 = [R_rl|t_rl], normalized coords = ray xy
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P2 = jnp.concatenate([R_rl, t_rl[:, None]], axis=1)
+    X = tv.triangulate_dlt(P1, P2, r1[:, :2], r2[:, :2])  # (Nl,3) left frame
+
+    z1 = X[:, 2]
+    xc2 = jnp.einsum("ij,nj->ni", R_rl, X) + t_rl
+    z2 = xc2[:, 2]
+    uv1 = cm.project(cam_l, X)
+    uv2 = cm.project(cam_r, xc2)
+    s2_l = level_sigma2[kp_l.level]
+    s2_r = level_sigma2[kp_r.level][b.idx]
+    e1 = jnp.sum((uv1 - kp_l.xy) ** 2, axis=-1)
+    e2 = jnp.sum((uv2 - kp_r.xy[b.idx]) ** 2, axis=-1)
+    accept = (
+        accept
+        & (z1 > 0.05)
+        & (z2 > 0.05)
+        & (e1 <= 5.991 * s2_l)
+        & (e2 <= 5.991 * s2_r)
+        & jnp.all(jnp.isfinite(X), axis=-1)
+    )
+    return FisheyeStereoMatches(
+        depth=jnp.where(accept, z1, -1.0),
+        x3d=X,
+        idx=b.idx,
+        valid=accept,
+    )
+
+
 def stereo_subpixel_refine(
     img_l: jnp.ndarray,
     img_r: jnp.ndarray,

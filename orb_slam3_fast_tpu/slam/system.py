@@ -101,6 +101,11 @@ class System:
             voc=self.voc, kfdb=self.kfdb, loopcloser=self.loopcloser,
             atlas=self.atlas, backend=self.backend, timers=self.timers,
         )
+        if settings.camera_type == "KannalaBrandt8" and settings.cam2 is not None:
+            # non-rectified fisheye stereo rig (TUM-VI): the tracker matches
+            # and triangulates across the two KB8 cameras directly
+            common["cam2"] = settings.cam2
+            common["T_c1_c2"] = settings.T_c1_c2
         if self.inertial:
             # System.cc:203 + Tracking.cc:567-654: "-inertial" sensors get
             # the IMU-coupled tracker built from the YAML's IMU block

@@ -65,18 +65,23 @@ def render(world, cam, T_cw, wh=(640, 480), bg=30.0):
     t = np.asarray(T_cw.t, np.float64)
     centers = world["centers"].astype(np.float64)
     Xc = centers @ R.T + t
-    fx, fy, cx, cy = [float(cam.params[i]) for i in range(4)]
     tile = world["tex"].shape[1]
     e1 = world["e1"].astype(np.float64)
     e2 = world["e2"].astype(np.float64)
     sizes = world["sizes"].astype(np.float64)
-    # precompute pixel grid rays (normalized image plane)
+    # camera-generic: dense per-pixel ray grid via the camera model's
+    # unprojection (pinhole AND fisheye render correctly)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    grid = np.stack([uu, vv], -1).reshape(-1, 2)
+    all_dirs = np.asarray(
+        cam_models.unproject(cam, jnp.asarray(grid, dtype=jnp.float32))
+    ).reshape(h, w, 3).astype(np.float64)
     for i in range(len(centers)):
         z = Xc[i, 2]
         if z < 0.5:
             continue
         half = 0.5 * sizes[i]
-        # project the 4 corners
+        # project the 4 corners through the CAMERA MODEL
         corners_w = (
             centers[i][None, :]
             + np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float64)
@@ -85,7 +90,7 @@ def render(world, cam, T_cw, wh=(640, 480), bg=30.0):
         cc = corners_w @ R.T + t
         if np.any(cc[:, 2] < 0.2):
             continue
-        uvq = np.stack([fx * cc[:, 0] / cc[:, 2] + cx, fy * cc[:, 1] / cc[:, 2] + cy], -1)
+        uvq = np.asarray(cam_models.project(cam, jnp.asarray(cc, dtype=jnp.float32)))
         u0 = max(int(np.floor(uvq[:, 0].min())), 0)
         u1 = min(int(np.ceil(uvq[:, 0].max())) + 1, w)
         v0 = max(int(np.floor(uvq[:, 1].min())), 0)
@@ -93,12 +98,7 @@ def render(world, cam, T_cw, wh=(640, 480), bg=30.0):
         if u1 <= u0 or v1 <= v0 or (u1 - u0) * (v1 - v0) > 200_000:
             continue
         # ray-plane intersection for every pixel in the bbox
-        us = (np.arange(u0, u1) + 0.0 - cx) / fx
-        vs = (np.arange(v0, v1) + 0.0 - cy) / fy
-        dirs = np.stack(
-            [np.broadcast_to(us[None, :], (v1 - v0, u1 - u0)),
-             np.broadcast_to(vs[:, None], (v1 - v0, u1 - u0)),
-             np.ones((v1 - v0, u1 - u0))], -1)
+        dirs = all_dirs[v0:v1, u0:u1]
         # plane in camera frame: point pc, spanned by a1, a2; normal nc
         pc = Xc[i]
         a1 = R @ e1[i]
@@ -163,6 +163,17 @@ def stereo_pair(world, cam, T_cw, baseline, wh=(640, 480)):
     T_rl = lie.SE3(jnp.eye(3), jnp.asarray([-baseline, 0.0, 0.0]))
     img_l = render(world, cam, T_cw, wh)
     img_r = render(world, cam, T_rl.compose(T_cw), wh)
+    return img_l, img_r
+
+
+def stereo_pair_cams(world, cam_l, cam_r, T_cw, T_c1_c2, wh=(640, 480)):
+    """General two-camera rig: T_c1_c2 is the pose of cam2 in cam1 (4,4)."""
+    T = np.asarray(T_c1_c2, np.float64)
+    R12, t12 = T[:3, :3], T[:3, 3]
+    T_21 = lie.SE3(jnp.asarray(R12.T, dtype=jnp.float32),
+                   jnp.asarray(-R12.T @ t12, dtype=jnp.float32))
+    img_l = render(world, cam_l, T_cw, wh)
+    img_r = render(world, cam_r, T_21.compose(T_cw), wh)
     return img_l, img_r
 
 
