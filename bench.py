@@ -119,48 +119,62 @@ def main():
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
 
-    # --- per-stage breakdown (dispatch N, block once: device-serial, so
-    # per-call wall time ~ stage device time, tunnel RTT amortized away)
-    def stage_time(fn, args, n_rep=40, chain=None):
-        out = jax.block_until_ready(fn(*args))
+    # --- per-stage breakdown by DIFFERENTIAL fused-step variants, all over
+    # ROTATING inputs (this rig's backend memoizes identical repeated
+    # executions, so fixed-input per-stage timing reads near-zero/garbage)
+    def step_upto(stage):
+        # each variant CONSUMES every intermediate it computed (eps-weighted
+        # sums) — otherwise XLA dead-code-eliminates earlier stages and the
+        # differential attribution is garbage
+        def f(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level):
+            kp_l = ext.extract(img_l, cfg)
+            kp_r = ext.extract(img_r, cfg)
+            acc = (
+                kp_l.xy.sum() + kp_r.xy.sum() + kp_l.angle.sum() + kp_r.angle.sum()
+                + kp_l.desc.astype(jnp.float32).sum() + kp_r.desc.astype(jnp.float32).sum()
+            )
+            if stage == "extract":
+                return T_R + 1e-20 * acc, T_t, 0, 0
+            sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0)
+            acc = acc + sm.depth.sum() + sm.right_u.sum()
+            if stage == "stereo":
+                return T_R + 1e-20 * acc, T_t, 0, 0
+            T = lie.SE3(T_R, T_t)
+            proj = cam_models.project(cam, T.apply(lm_pos))
+            in_img = (
+                (proj[:, 0] >= 0) & (proj[:, 0] < 640) & (proj[:, 1] >= 0) & (proj[:, 1] < 480)
+            )
+            idx, accept = mat.search_by_projection(
+                kp_l, proj, in_img, lm_desc, lm_level, scales, radius=6.0
+            )
+            acc = acc + idx.sum() + accept.sum()
+            if stage == "match":
+                return T_R + 1e-20 * acc, T_t, 0, 0
+            return tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level)
+
+        return jax.jit(f)
+
+    def variant_time(fn, n_rep=40):
+        Rv, tv = jnp.eye(3), jnp.zeros(3)
+        out = jax.block_until_ready(fn(jl[0], jr[0], Rv, tv, jpos, jdesc, jlvl))
+        Rv = out[0]
         t0 = time.perf_counter()
-        a = args
         for i in range(n_rep):
-            out = fn(*a)
-            if chain is not None:
-                a = chain(a, out)
-        jax.block_until_ready(out)
+            out = fn(jl[i % n_imgs], jr[i % n_imgs], Rv, tv, jpos, jdesc, jlvl)
+            Rv = out[0]
+        jax.block_until_ready(Rv)
         return (time.perf_counter() - t0) / n_rep * 1e3
 
-    stages = {}
-    f_ex = jax.jit(lambda im: ext.extract(im, cfg))
-    stages["ORB extraction (x2 images)"] = 2 * stage_time(f_ex, (jl[0],))
-    kp_l = jax.block_until_ready(f_ex(jl[0]))
-    kp_r = jax.block_until_ready(f_ex(jr[0]))
-    f_sm = jax.jit(lambda a, b: mat.stereo_match(a, b, scales, bf=bf, min_z=1.0))
-    stages["Stereo matching"] = stage_time(f_sm, (kp_l, kp_r))
-    proj = cam_models.project(cam, jpos)
-    vis = jnp.ones(n_lm, bool)
-    f_sbp = jax.jit(
-        lambda kp, pr, vi, de, lv: mat.search_by_projection(kp, pr, vi, de, lv, scales, radius=6.0)
-    )
-    stages["LM track: projection match"] = stage_time(f_sbp, (kp_l, proj, vis, jdesc, jlvl))
-    idx, accept = jax.block_until_ready(f_sbp(kp_l, proj, vis, jdesc, jlvl))
-    sm = jax.block_until_ready(f_sm(kp_l, kp_r))
-    uvr = jnp.concatenate(
-        [kp_l.xy[idx], jnp.where(accept, sm.right_u[idx], -1.0)[:, None]], axis=1
-    )
-    obs = pose_opt.PoseObs(
-        xw=jpos, uv=uvr, inv_sigma2=jnp.ones(n_lm),
-        is_stereo=accept & (sm.right_u[idx] > 0), valid=accept,
-    )
-    f_po = jax.jit(
-        lambda Rr, tt, o: pose_opt.pose_optimization(cam, jnp.float32(bf), lie.SE3(Rr, tt), o)
-    )
-    stages["Pose optimization (4x10 LM)"] = stage_time(
-        f_po, (jnp.eye(3), jnp.zeros(3), obs),
-        chain=lambda a, out: (out[0].R, out[0].t, a[2]),
-    )
+    t_extract = variant_time(step_upto("extract"))
+    t_stereo = variant_time(step_upto("stereo"))
+    t_match = variant_time(step_upto("match"))
+    t_full = dt * 1e3
+    stages = {
+        "ORB extraction (x2 images)": t_extract,
+        "Stereo matching": max(t_stereo - t_extract, 0.0),
+        "LM track: projection match": max(t_match - t_stereo, 0.0),
+        "Pose optimization (4x10 LM)": max(t_full - t_match, 0.0),
+    }
     lines = [
         "# RESULTS — per-stage tracking latency on TPU (640x480 stereo)",
         "",

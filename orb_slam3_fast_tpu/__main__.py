@@ -92,6 +92,9 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/orb_slam3_fast_tpu_out")
     ap.add_argument("--timestamps", default=None, help="EuRoC timestamp list file")
     ap.add_argument("--sync", action="store_true", help="run the backend inline")
+    ap.add_argument("--viz", action="store_true",
+                    help="dump map/frame renderings to OUT/viz every 20 frames "
+                         "(the reference Viewer thread, headless)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (this rig's sitecustomize "
                          "overrides JAX_PLATFORMS, so a config update is needed)")
@@ -134,6 +137,11 @@ def main(argv=None):
 
         stream = stream_gen()
 
+    snap = None
+    if args.viz:
+        from orb_slam3_fast_tpu.viz.viewer import SnapshotViewer
+
+        snap = SnapshotViewer(os.path.join(args.out, "viz"))
     n = 0
     t_start = time.perf_counter()
     for ts, imgs, imu, gt in stream:
@@ -147,6 +155,8 @@ def main(argv=None):
         else:
             state, pose = slam.track_monocular(imgs[0], ts, **kw)
         n += 1
+        if snap is not None:
+            snap.maybe_snapshot(slam.tracker, img=imgs[0])
         if n % 20 == 0:
             print(f"  frame {n}: {state}", flush=True)
     wall = time.perf_counter() - t_start

@@ -44,7 +44,10 @@ class LoopCloserConfig:
     min_proj_matches: int = 50  # nProjMatches guided re-search (:657)
     min_covis_edge: int = 30  # essential-graph covisibility weight (ref. 100)
     temporal_gap: int = 10  # candidate must be >= this many KFs old
-    consecutive_required: int = 1  # reference needs 3 consecutive KF support
+    # consecutive keyframes whose verified candidates share a covisibility
+    # group before a loop is accepted (reference mnLoopNumCoincidences /
+    # covisibility-consistency machinery, LoopClosing.cc:345-578)
+    consecutive_required: int = 3
     fix_scale: bool = False  # stereo/RGBD/inertial: 6-DoF instead of 7
     run_gba: bool = True
     gba_iters: tuple = (8, 12)
@@ -64,6 +67,7 @@ class LoopCloser:
         self.sigma2 = sigma2 if sigma2 is not None else (1.2 ** (2 * np.arange(8))).astype(np.float32)
         self.consec_count = 0
         self.last_candidate = -1
+        self.last_group: set = set()
         self.n_loops_closed = 0
         self.n_maps_merged = 0
 
@@ -88,13 +92,22 @@ class LoopCloser:
         exclude = np.unique(
             np.asarray([row_of(c) for c in np.concatenate([covis, recent, [k]])])
         )
-        groups = {
-            row_of(c): np.asarray([row_of(g) for g in world.best_covisible(int(c), 10, min_shared=5)])
-            for c in range(world.n_kf)
-            if world.kf_valid[c]
-        }
+
+        def groups_fn(row):
+            # lazy covisibility group per CANDIDATE row (the reference walks
+            # GetBestCovisibilityKeyFrames per candidate too; building groups
+            # for every keyframe on every query was O(K^2 * N))
+            mid, local = (atlas.resolve_row(row) if atlas is not None else (map_id, row))
+            wm = world if mid == map_id else atlas.maps[mid]
+            if wm is None:
+                return np.zeros(0, np.int64)
+            g = wm.best_covisible(int(local), 10, min_shared=5)
+            if atlas is not None:
+                return np.asarray([atlas.register_kf(mid, int(c)) for c in g])
+            return g
+
         loop_c, merge_c = self.kfdb.detect_n_best_candidates(
-            bow, exclude, self.cfg.n_candidates, covis_groups=groups, query_map=map_id
+            bow, exclude, self.cfg.n_candidates, covis_groups=groups_fn, query_map=map_id
         )
         for c in loop_c:
             c = int(c)
@@ -106,15 +119,24 @@ class LoopCloser:
             if out is None:
                 continue
             S_kc, n_inl = out
-            # temporal consistency (reference: 3 consecutive KFs, :345-578)
-            if self.last_candidate >= 0 and abs(c - self.last_candidate) <= 5:
+            # temporal consistency over COVISIBILITY GROUPS (the reference's
+            # consistent-group machinery, LoopClosing.cc:345-578): this
+            # candidate's covisible group must intersect the group of the
+            # candidate verified at a previous keyframe, consecutive_required
+            # times, before the loop is accepted
+            group = set(
+                int(g) for g in world.best_covisible(c, 10, min_shared=5)
+            ) | {c}
+            if self.last_group and (group & self.last_group):
                 self.consec_count += 1
             else:
                 self.consec_count = 1
+            self.last_group = group
             self.last_candidate = c
             if self.consec_count >= self.cfg.consecutive_required:
                 self._correct(world, k, c, S_kc)
                 self.consec_count = 0
+                self.last_group = set()
                 self.last_candidate = -1
                 self.n_loops_closed += 1
                 return ("loop", None)

@@ -161,20 +161,24 @@ class Mapper:
             # observation incidence of these landmarks across all valid KFs
             other = np.nonzero(world.kf_valid[:K])[0]
             other = other[other != c]
-            n_redundant = 0
-            # count, per landmark, other-KF observations at level <= lvl_c+1
-            obs_o = world.kf_obs[other]  # (Ko, N)
-            lvl_o = world.kf_level[other]
-            counts = np.zeros(len(lm), dtype=np.int32)
-            lm_to_i = -np.ones(world.max_lm, dtype=np.int64)
+            lm_to_i = -np.ones(world.max_lm, dtype=np.int32)
             lm_to_i[lm] = np.arange(len(lm))
-            hit = obs_o >= 0
-            rows, cols = np.nonzero(hit)
-            li = lm_to_i[obs_o[rows, cols]]
-            ok = li >= 0
-            rows, cols, li = rows[ok], cols[ok], li[ok]
-            scale_ok = lvl_o[rows, cols] <= lvl_c[li] + 1
-            np.add.at(counts, li[scale_ok], 1)
+            from orb_slam3_fast_tpu import native
+
+            counts = native.redundancy_counts(
+                world.kf_obs, world.kf_level, other.astype(np.int64),
+                lm_to_i, lvl_c.astype(np.int32),
+            )
+            if counts is None:  # numpy fallback (no toolchain)
+                obs_o = world.kf_obs[other]  # (Ko, N)
+                lvl_o = world.kf_level[other]
+                counts = np.zeros(len(lm), dtype=np.int32)
+                rows, cols = np.nonzero(obs_o >= 0)
+                li = lm_to_i[obs_o[rows, cols]]
+                ok = li >= 0
+                rows, cols, li = rows[ok], cols[ok], li[ok]
+                scale_ok = lvl_o[rows, cols] <= lvl_c[li] + 1
+                np.add.at(counts, li[scale_ok], 1)
             n_redundant = int((counts >= 3).sum())
             if n_redundant > 0.9 * len(lm):
                 world.remove_keyframe(c)

@@ -226,6 +226,12 @@ class InertialTracker(Tracker):
             self._try_initialize_imu()
         elif len(self.world.kf_preint) >= 2:
             self._local_inertial_ba(k)
+            # periodic ScaleRefinement (LocalMapping.cc:1420: at 25/35/45.. s;
+            # here every ~5 s of keyframe time after init)
+            ts_now = self.world.kf_ts[k]
+            if ts_now - getattr(self, "_last_scale_refine", self._imu_init_ts) >= 5.0:
+                self._scale_refinement()
+                self._last_scale_refine = ts_now
 
     # ------------------------------------------------------------------
     def _try_initialize_imu(self):
@@ -295,8 +301,55 @@ class InertialTracker(Tracker):
             self.last.t = float(s) * self.last.t
         self.velocity = lie.SE3.identity()
         w.imu_initialized = True
+        self._imu_init_ts = float(w.kf_ts[w.n_kf - 1])
         # full inertial BA over the chain (FullInertialBA, LocalMapping.cc:1340)
         self._local_inertial_ba(w.n_kf - 1, window=len(full))
+
+    # ------------------------------------------------------------------
+    def _scale_refinement(self):
+        """LocalMapping::ScaleRefinement: re-estimate (gravity, scale) over
+        the whole inertial chain with everything else frozen; apply only a
+        significant correction (reference threshold |s-1| > 0.002)."""
+        w = self.world
+        ks = [k for k in range(1, w.n_kf) if k in w.kf_preint]
+        if len(ks) < 4:
+            return
+        # coarse edges like the initializer (SNR; see init_edge_dt)
+        chain = [ks[0] - 1]
+        pre_list = []
+        acc_p = None
+        for k in ks:
+            p = w.kf_preint[k]
+            acc_p = p if acc_p is None else pre.compose_jit(acc_p, p)
+            if float(acc_p.dT) >= self.icfg.init_edge_dt or k == ks[-1]:
+                chain.append(k)
+                pre_list.append(acc_p)
+                acc_p = None
+        if len(pre_list) < 3:
+            return
+        Kp = int(2 ** np.ceil(np.log2(max(len(chain), 8))))
+        chain_pad = chain + [chain[-1]] * (Kp - len(chain))
+        edge_valid = jnp.asarray(np.arange(1, Kp) < len(chain), dtype=bool)
+        R_wb, p_wb = _body_from_camera(
+            self.T_cb, jnp.asarray(w.kf_R[chain_pad]), jnp.asarray(w.kf_t[chain_pad])
+        )
+        pre_list += [pre_list[-1]] * (Kp - 1 - len(pre_list))
+        preints = jax.tree.map(lambda *xs: jnp.stack(xs), *pre_list)
+        Rwg, s = imu_init.scale_gravity_refinement(
+            R_wb, p_wb, jnp.asarray(w.kf_vel[chain_pad]), self.cur_bias,
+            preints, edge_valid=edge_valid,
+        )
+        s = float(s)
+        if not np.isfinite(s) or not (0.5 < s < 2.0):
+            return
+        if abs(s - 1.0) > 0.002:
+            R_gw = np.asarray(Rwg).T
+            w.apply_scaled_rotation(R_gw, s)
+            if self.last is not None:
+                self.last.R = lie.normalize_rotation_np(self.last.R @ R_gw.T)
+                self.last.t = (s * self.last.t).astype(np.float32)
+            self.cur_vel = jnp.asarray(s * (np.asarray(self.cur_vel) @ R_gw.T))
+            self.velocity = lie.SE3.identity()
 
     # ------------------------------------------------------------------
     def _local_inertial_ba(self, k: int, window: int | None = None):

@@ -232,18 +232,28 @@ class WorldMap:
     # ------------------------------------------------------------------
     # covisibility
     # ------------------------------------------------------------------
+    def _lm_scratch(self) -> np.ndarray:
+        """Scratch byte array (size max_lm) for the native covis kernel."""
+        s = getattr(self, "_scratch", None)
+        if s is None or len(s) != self.max_lm:
+            s = np.zeros(self.max_lm, dtype=np.uint8)
+            self._scratch = s
+        return s
+
     def covisibility_counts(self, k: int) -> np.ndarray:
         """Shared-landmark counts between KF k and every other KF (the
         covisibility weights of UpdateConnections, threshold applied by
-        callers)."""
+        callers).  Runs in the native C++ kernel when built
+        (native/map_ops.cpp — the reference's UpdateConnections counting,
+        KeyFrame.cc:379-475), numpy fallback otherwise."""
         K = self.n_kf
         obs_k = self.kf_obs[k]
         obs_k = obs_k[obs_k >= 0]
         if len(obs_k) == 0:
             return np.zeros(K, dtype=np.int32)
-        counts = np.zeros(K, dtype=np.int32)
-        mask = np.isin(self.kf_obs[:K], obs_k)
-        counts = mask.sum(axis=1).astype(np.int32)
+        from orb_slam3_fast_tpu import native
+
+        counts = native.covis_counts(self.kf_obs[:K], obs_k, self._lm_scratch())
         counts[k] = 0
         return counts
 
@@ -266,6 +276,11 @@ class WorldMap:
         the given id arrays."""
         lm_to_local = -np.ones(self.max_lm, dtype=np.int32)
         lm_to_local[lm_ids] = np.arange(len(lm_ids))
+        from orb_slam3_fast_tpu import native
+
+        out = native.observations_of(self.kf_obs, np.asarray(kf_ids, np.int64), lm_to_local)
+        if out is not None:
+            return out
         rows = []
         for i, k in enumerate(kf_ids):
             slots = np.nonzero(self.kf_obs[k] >= 0)[0]

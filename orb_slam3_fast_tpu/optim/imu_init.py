@@ -156,6 +156,63 @@ def inertial_only_optimization(
     )
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def scale_gravity_refinement(
+    R_wb: jnp.ndarray,  # (K,3,3) body rotations (fixed)
+    p_wb: jnp.ndarray,  # (K,3) body positions (fixed)
+    vel: jnp.ndarray,  # (K,3) velocities (fixed)
+    bias: jnp.ndarray,  # (6,) current bias (fixed)
+    preints: pre.Preintegrated,  # (K-1) stacked edges
+    edge_valid: jnp.ndarray | None = None,
+    iters: int = 20,
+):
+    """ScaleRefinement (LocalMapping.cc:1420 -> the InertialOptimization
+    overload optimizing ONLY gravity direction + scale, Optimizer.cc:3452):
+    everything else frozen; run periodically after IMU init to polish the
+    metric scale as the map grows.  Returns (Rwg, scale)."""
+    K = R_wb.shape[0]
+    n_e = K - 1
+    infos = jax.vmap(inertial_information)(preints)
+    if edge_valid is not None:
+        infos = infos * edge_valid[:, None, None].astype(infos.dtype)
+
+    def residuals(x):
+        theta = jnp.concatenate([x[0:2], jnp.zeros(1)])
+        Rwg = lie.so3_exp(theta)
+        log_s = x[2]
+
+        def edge(i):
+            return _gs_residual(
+                R_wb[i], p_wb[i], R_wb[i + 1], p_wb[i + 1],
+                vel[i], vel[i + 1], bias, Rwg, log_s,
+                jax.tree.map(lambda a: a[i], preints), jnp.asarray(False),
+            )
+
+        return jax.vmap(edge)(jnp.arange(n_e))
+
+    def lm_iter(carry, _):
+        x, lam = carry
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        H = jnp.einsum("eip,eij,ejq->pq", J, infos, J)
+        g = -jnp.einsum("eip,eij,ej->p", J, infos, r)
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-6)) + 1e-9 * jnp.eye(3)
+        dx = jnp.linalg.solve(Hd, g)
+
+        def cost(xx):
+            rr = residuals(xx)
+            return jnp.sum(jnp.einsum("ei,eij,ej->e", rr, infos, rr))
+
+        accept = cost(x + dx) < cost(x)
+        x = jnp.where(accept, x + dx, x)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 5.0, 1e6))
+        return (x, lam), None
+
+    (x, _), _ = jax.lax.scan(lm_iter, (jnp.zeros(3), jnp.float32(1e-3)), None, length=iters)
+    theta = jnp.concatenate([x[0:2], jnp.zeros(1)])
+    return lie.so3_exp(theta), jnp.exp(x[2])
+
+
 def gravity_alignment_transform(init: InertialInit):
     """World-frame correction applied after init (LocalMapping.cc:1310-1340 +
     Map::ApplyScaledRotation): rotate the world so gravity is -z and apply

@@ -91,11 +91,19 @@ class KeyFrameDatabase:
         ids = np.nonzero(elig)[0]
         if len(ids) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        # group accumulated score (:672-705)
+        # group accumulated score (:672-705).  ``covis_groups`` may be a dict
+        # OR a callable row -> group rows; the callable form is evaluated
+        # LAZILY for the eligible candidates only (the previous build-groups-
+        # for-every-keyframe pattern cost O(K^2 * N) per query)
         acc = np.zeros(len(ids), dtype=np.float32)
         best_member = ids.copy()
         for i, k in enumerate(ids):
-            group = covis_groups.get(int(k), np.zeros(0, np.int64)) if covis_groups else np.zeros(0, np.int64)
+            if callable(covis_groups):
+                group = covis_groups(int(k))
+            elif covis_groups:
+                group = covis_groups.get(int(k), np.zeros(0, np.int64))
+            else:
+                group = np.zeros(0, np.int64)
             group = np.asarray(group, dtype=np.int64)
             group = group[(group >= 0) & elig[np.clip(group, 0, self.max_kf - 1)]] if len(group) else group
             members = np.concatenate([[k], group])

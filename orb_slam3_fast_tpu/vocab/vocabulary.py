@@ -243,26 +243,46 @@ def score_l1(bow_a: jnp.ndarray, bow_b: jnp.ndarray) -> jnp.ndarray:
 _DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "_default_voc.npz")
 
 
-def _procedural_descriptors(n_images: int = 24, seed: int = 7) -> np.ndarray:
+def _procedural_descriptors(n_images: int = 32, seed: int = 7) -> np.ndarray:
+    """Descriptors from diverse procedural imagery (textured patches at many
+    scales + gradients + blobs) — image-LIKE statistics, not uniform noise:
+    BRIEF bits over real patches are strongly correlated, and a vocabulary
+    trained on the wrong bit statistics clusters everything into few words."""
     from orb_slam3_fast_tpu.ops import extractor as ext
 
     rng = np.random.default_rng(seed)
     cfg = ext.ExtractorConfig(n_features=1024)
     out = []
-    for _ in range(n_images):
-        img = rng.uniform(0, 60, (480, 640)).astype(np.float32)
-        # random bright blobs + edges: rich FAST corners
-        for _ in range(160):
-            x, y = rng.integers(20, 620), rng.integers(20, 460)
-            s = int(rng.integers(2, 12))
-            img[y : y + s, x : x + s] += rng.uniform(40, 195)
+    for im_i in range(n_images):
+        # low-frequency background (smooth illumination)
+        bg = rng.uniform(10, 80)
+        img = np.full((480, 640), bg, np.float32)
+        gx = rng.uniform(-0.08, 0.08)
+        gy = rng.uniform(-0.08, 0.08)
+        yy, xx = np.mgrid[0:480, 0:640]
+        img += gx * xx + gy * yy
+        # textured patches at a wide range of scales (like projected quads)
+        for _ in range(120):
+            x, y = int(rng.integers(0, 600)), int(rng.integers(0, 440))
+            s = int(rng.integers(6, 90))
+            tile = int(rng.integers(2, 8))
+            tex = rng.uniform(20, 235, (tile, tile)).astype(np.float32)
+            ys = np.clip((np.arange(s) * tile) // s, 0, tile - 1)
+            patch = tex[ys[:, None], ys[None, :]]
+            y1, x1 = min(y + s, 480), min(x + s, 640)
+            img[y:y1, x:x1] = patch[: y1 - y, : x1 - x]
+        # a few hard edges + small blobs
+        for _ in range(40):
+            x, y = int(rng.integers(10, 620)), int(rng.integers(10, 460))
+            s = int(rng.integers(2, 10))
+            img[y : y + s, x : x + s] += rng.uniform(40, 160)
         kp = ext.extract(jnp.asarray(np.clip(img, 0, 255)), cfg)
         v = np.asarray(kp.valid)
         out.append(np.asarray(kp.desc)[v])
     return np.concatenate(out)
 
 
-def default_vocabulary(branching: int = 10, depth: int = 3) -> Vocabulary:
+def default_vocabulary(branching: int = 10, depth: int = 4) -> Vocabulary:
     """Build (or load cached) the stock vocabulary — the ORBvoc.txt analogue."""
     if os.path.exists(_DEFAULT_PATH):
         try:

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: jax's persistent compilation cache was tried here and REVERTED: on
+# this jaxlib the XLA:CPU AOT deserialization path segfaults (cache entries
+# are machine-feature-pinned with tuning flags like +prefer-no-scatter and
+# concurrent pytest processes race on the cache files) — a worse failure
+# mode than the compile time it saves.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

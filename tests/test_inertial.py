@@ -140,3 +140,22 @@ def test_imu_init_recovers_gravity_scale_bias(rng):
     # estimates velocities in the *visual* frame scaled by s)
     v_true0 = rot @ states[0][2] / true_scale
     assert np.abs(np.asarray(init.vel[0]) - v_true0).max() < 0.05
+
+
+def test_scale_gravity_refinement(rng):
+    """ScaleRefinement: with velocities/poses frozen at a slightly mis-scaled
+    state, the (gravity, scale) polish must recover the residual scale."""
+    states, segments, dt = simulate_trajectory(rng, n_kf=10)
+    preints = preintegrate_segments(segments, dt)
+    resid_scale = 1.08  # map is 8% too small after the first init
+    R_wb = np.stack([s[0] for s in states]).astype(np.float32)
+    p_wb = np.stack([s[1] / resid_scale for s in states]).astype(np.float32)
+    vel = np.stack([s[2] / resid_scale for s in states]).astype(np.float32)
+    Rwg, s = imu_init.scale_gravity_refinement(
+        jnp.asarray(R_wb), jnp.asarray(p_wb), jnp.asarray(vel),
+        jnp.zeros(6), preints,
+    )
+    assert abs(float(s) - resid_scale) < 0.01, float(s)
+    g_est = np.asarray(Rwg) @ np.array([0, 0, -9.81])
+    cos = g_est @ np.array([0, 0, -9.81]) / (np.linalg.norm(g_est) * 9.81)
+    assert cos > 0.9995
