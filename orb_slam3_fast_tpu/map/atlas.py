@@ -154,3 +154,39 @@ class Atlas:
         self.maps[src_id] = None  # retired
         self.current_id = dst_id
         return {"kf_offset": kf_off, "lm_offset": lm_off}
+
+    # ------------------------------------------------------------------
+    # persistence (System::SaveAtlas / LoadAtlas, System.cc:1430-1529 —
+    # the whole multi-map atlas, not just the active map)
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Write every live map as <path>.map<i>.npz plus a registry file."""
+        import numpy as np
+
+        live = [i for i, m in enumerate(self.maps) if m is not None]
+        for i in live:
+            self.maps[i].save(f"{path}.map{i}.npz")
+        rows = np.asarray(
+            [(r, m, k) for r, (m, k) in enumerate(self.row_map)], dtype=np.int64
+        ).reshape(-1, 3)
+        np.savez(f"{path}.atlas.npz", live=np.asarray(live, np.int64),
+                 current=self.current_id, n_slots=len(self.maps), rows=rows)
+
+    @staticmethod
+    def load(path: str, make_map) -> "Atlas":
+        import numpy as np
+
+        from orb_slam3_fast_tpu.map.worldmap import WorldMap
+
+        z = np.load(f"{path}.atlas.npz")
+        atlas = Atlas(make_map)
+        atlas.maps = [None] * int(z["n_slots"])
+        for i in z["live"]:
+            atlas.maps[int(i)] = WorldMap.load(f"{path}.map{int(i)}.npz")
+        atlas.current_id = int(z["current"])
+        atlas.row_map = []
+        atlas._row_of = {}
+        for r, m, k in z["rows"]:
+            atlas.row_map.append((int(m), int(k)))
+            atlas._row_of[(int(m), int(k))] = int(r)
+        return atlas

@@ -276,9 +276,25 @@ class System:
     # persistence (SaveAtlas/LoadAtlas, System.cc:1430-1529)
     # ------------------------------------------------------------------
     def save_atlas(self, path: str):
-        self.tracker.world.save(path)
+        """System::SaveAtlas (System.cc:1430): the WHOLE multi-map atlas when
+        one exists, else the single map."""
+        if self.atlas is not None:
+            self.atlas.save(path)
+        else:
+            self.tracker.world.save(path)
 
     def load_atlas(self, path: str):
+        import os
+
+        if self.atlas is not None and os.path.exists(f"{path}.atlas.npz"):
+            from orb_slam3_fast_tpu.map.atlas import Atlas
+
+            self.atlas = Atlas.load(path, self.atlas._make)
+            self.tracker.atlas = self.atlas
+            self.world = self.atlas.current
+            self.tracker.world = self.world
+            self.tracker.map_id = self.atlas.current_id
+            return
         self.world = WorldMap.load(path)
         self.tracker.world = self.world
         if self.atlas is not None:

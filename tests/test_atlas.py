@@ -77,3 +77,34 @@ def test_atlas_spawns_and_merges():
     est, gt, ts = np.asarray(est), np.asarray(gt), np.asarray(ts)
     rmse, n, s = ate.ate_rmse(ts, est, ts, gt, with_scale=True)
     assert rmse < 0.5, f"post-merge full-trajectory ATE {rmse:.3f}"
+
+
+def test_atlas_save_load_roundtrip(tmp_path, rng):
+    atlas = Atlas(_make_map)
+
+    class KP:
+        xy = np.zeros((64, 2), np.float32)
+        level = np.zeros(64, np.int32)
+        angle = np.zeros(64, np.float32)
+        desc = np.zeros((64, 256), np.int8)
+        valid = np.ones(64, bool)
+
+    def tiny_map():
+        return WorldMap(kp_cap=64, max_kf=8, max_lm=256)
+
+    atlas = Atlas(tiny_map)
+    for k in range(3):
+        atlas.current.add_keyframe(KP(), np.eye(3, dtype=np.float32),
+                                   np.array([0.1 * k, 0, 0], np.float32), float(k))
+        atlas.register_kf(0, k)
+    atlas.create_new_map()
+    atlas.current.add_keyframe(KP(), np.eye(3, dtype=np.float32),
+                               np.zeros(3, np.float32), 9.0)
+    atlas.register_kf(1, 0)
+    p = str(tmp_path / "atlas")
+    atlas.save(p)
+    a2 = Atlas.load(p, tiny_map)
+    assert a2.current_id == 1
+    assert a2.maps[0].n_kf == 3 and a2.maps[1].n_kf == 1
+    assert a2.row_map == atlas.row_map
+    assert a2.register_kf(0, 2) == atlas._row_of[(0, 2)]
