@@ -70,6 +70,10 @@ class LoopCloser:
         self.last_group: set = set()
         self.n_loops_closed = 0
         self.n_maps_merged = 0
+        # MergeInertialBA hook (Optimizer.cc:3996): System wires this to the
+        # InertialTracker's windowed VI-BA when the sensor is "-inertial";
+        # called on the merged map after the welding-window visual BA
+        self.inertial_ba = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, world: WorldMap, k: int, map_id: int = 0, atlas=None):
@@ -173,6 +177,13 @@ class LoopCloser:
         touched = np.unique(dst.kf_obs[k_new][dst.kf_obs[k_new] >= 0])
         dst.update_landmark_stats(touched)
         self.mapper._local_ba(dst, k_new)
+        # MergeLocal2 / MergeInertialBA (LoopClosing.cc:1932, Optimizer.cc:3996):
+        # for inertial maps the weld is rigid (scale observed by the IMU —
+        # _verify already fixed it) and the welding window is re-optimized
+        # with the preintegration edges so velocities/biases stay consistent
+        # across the seam
+        if getattr(dst, "imu_initialized", False) and self.inertial_ba is not None:
+            self.inertial_ba(dst, k_new)
         info["S_dst_src"] = S_w2w1
         info["dst_id"] = dst_id
         info["src_id"] = src_id
@@ -202,14 +213,9 @@ class LoopCloser:
         good = world.lm_valid[lm_k] & world_c.lm_valid[lm_c]
         return slots_k[good], slots_c[good], lm_k[good], lm_c[good]
 
-    def _verify(self, world: WorldMap, k: int, world_c: WorldMap, c: int):
-        """Geometric verification: Sim3 RANSAC + OptimizeSim3 + guided
-        projection gate.  Returns (S_kc, n_inliers) or None."""
-        cfg = self.cfg
-        slots_k, slots_c, lm_k, lm_c = self._matched_pairs(world, k, world_c, c)
-        if len(slots_k) < cfg.min_bow_matches:
-            return None
-        # camera-frame points for both KFs (Sim3Solver input, Sim3Solver.cc:66)
+    def _pack_pairs(self, world, k, world_c, c, slots_k, slots_c, lm_k, lm_c):
+        """Camera-frame point pairs padded to kp_cap (Sim3Solver input,
+        Sim3Solver.cc:66)."""
         n = world.kp_cap
         xc1 = np.zeros((n, 3), np.float32)
         xc2 = np.zeros((n, 3), np.float32)
@@ -218,7 +224,9 @@ class LoopCloser:
         is1 = np.ones(n, np.float32)
         is2 = np.ones(n, np.float32)
         valid = np.zeros(n, bool)
-        m = len(slots_k)
+        m = min(len(slots_k), n)
+        slots_k, slots_c = slots_k[:m], slots_c[:m]
+        lm_k, lm_c = lm_k[:m], lm_c[:m]
         xc1[:m] = world.lm_pos[lm_k] @ world.kf_R[k].T + world.kf_t[k]
         xc2[:m] = world_c.lm_pos[lm_c] @ world_c.kf_R[c].T + world_c.kf_t[c]
         uv1[:m] = world.kf_xy[k, slots_k]
@@ -226,20 +234,104 @@ class LoopCloser:
         is1[:m] = 1.0 / self.sigma2[world.kf_level[k, slots_k]]
         is2[:m] = 1.0 / self.sigma2[world_c.kf_level[c, slots_c]]
         valid[:m] = True
+        return xc1, xc2, uv1, uv2, is1, is2, valid
+
+    def _search_by_sim3(self, world, k, world_c, c, S_kc):
+        """ORBmatcher::SearchBySim3 (ORBmatcher.cc:1417-1512): guided mutual
+        projection of each keyframe's landmarks into the other through the
+        candidate Sim3; mutually-agreeing pairs extend the BoW correspondence
+        set before OptimizeSim3 (the reference accepts a loop only after this
+        densification pushes the inlier count past its gates)."""
+        scales8 = jnp.asarray((1.2 ** np.arange(8)).astype(np.float32))
+        dirs = []
+        for wa, a, wb, b, S in (
+            (world_c, c, world, k, S_kc),
+            (world, k, world_c, c, S_kc.inverse()),
+        ):
+            obs = wa.kf_obs[a]
+            has = (obs >= 0) & wa.kf_kp_valid[a]
+            lm = np.where(has, obs, 0)
+            has &= wa.lm_valid[lm]
+            xca = wa.lm_pos[lm] @ wa.kf_R[a].T + wa.kf_t[a]
+            xcb = np.asarray(S.apply(jnp.asarray(xca)))
+            uv = np.asarray(cam_models.project(self.cam, jnp.asarray(xcb)))
+            dist = np.linalg.norm(xcb, axis=1)
+            ratio = np.maximum(wa.lm_dmax[lm] / np.maximum(dist, 1e-9), 1.0)
+            pred_level = np.clip(
+                np.ceil(np.log(ratio) / np.log(1.2)).astype(np.int32), 0, 7
+            )
+            idx, accept = _search_proj(
+                _kf_keypoints(wb, b),
+                jnp.asarray(uv),
+                jnp.asarray(has & (xcb[:, 2] > 0.05)),
+                jnp.asarray(wa.lm_desc[lm]),
+                jnp.asarray(pred_level),
+                scales8,
+                radius=7.5,  # th=7.5 (ORBmatcher.cc:1447)
+                th_dist=100,
+                ratio=1.0,
+            )
+            dirs.append((np.asarray(idx), np.asarray(accept)))
+        (idx1, acc1), (idx2, acc2) = dirs  # 1: c-slot -> k-slot, 2: k-slot -> c-slot
+        pairs_k, pairs_c = [], []
+        for j in np.nonzero(acc1)[0]:
+            i = int(idx1[j])
+            if acc2[i] and int(idx2[i]) == int(j):  # mutual agreement (:1500)
+                pairs_k.append(i)
+                pairs_c.append(int(j))
+        if not pairs_k:
+            return None
+        sk = np.asarray(pairs_k, np.int64)
+        sc = np.asarray(pairs_c, np.int64)
+        return sk, sc, world.kf_obs[k, sk], world_c.kf_obs[c, sc]
+
+    def _verify(self, world: WorldMap, k: int, world_c: WorldMap, c: int):
+        """Geometric verification: Sim3 RANSAC + SearchBySim3 densification +
+        OptimizeSim3 + guided projection gate.  Returns (S_kc, n_inliers) or
+        None.  Scale is fixed for stereo/RGB-D and for inertial maps once the
+        IMU has observed it (LoopClosing.cc:651 bFixedScale)."""
+        cfg = self.cfg
+        fix_scale = cfg.fix_scale or bool(getattr(world, "imu_initialized", False))
+        slots_k, slots_c, lm_k, lm_c = self._matched_pairs(world, k, world_c, c)
+        if len(slots_k) < cfg.min_bow_matches:
+            return None
+        xc1, xc2, uv1, uv2, is1, is2, valid = self._pack_pairs(
+            world, k, world_c, c, slots_k, slots_c, lm_k, lm_c
+        )
         res = sim3_mod.sim3_ransac(
             self.cam, self.cam,
             jnp.asarray(xc1), jnp.asarray(xc2), jnp.asarray(uv1), jnp.asarray(uv2),
             jnp.asarray(is1), jnp.asarray(is2), jnp.asarray(valid),
             jax.random.PRNGKey(k * 2654435761 + c),
-            fix_scale=cfg.fix_scale,
+            fix_scale=fix_scale,
         )
         if not bool(res.ok):
             return None
+        # densify through the RANSAC Sim3, union with the BoW pairs, and let
+        # OptimizeSim3's internal chi2 re-gate arbitrate (it receives ALL the
+        # matches, as the reference's does with vpMatches1)
+        inliers = res.inliers
+        extra = self._search_by_sim3(world, k, world_c, c, res.S12)
+        if extra is not None:
+            known = set(zip(slots_k.tolist(), slots_c.tolist()))
+            fresh = [
+                i for i, p in enumerate(zip(extra[0].tolist(), extra[1].tolist()))
+                if p not in known
+            ]
+            if fresh:
+                slots_k = np.concatenate([slots_k, extra[0][fresh]])
+                slots_c = np.concatenate([slots_c, extra[1][fresh]])
+                lm_k = np.concatenate([lm_k, extra[2][fresh]])
+                lm_c = np.concatenate([lm_c, extra[3][fresh]])
+                xc1, xc2, uv1, uv2, is1, is2, valid = self._pack_pairs(
+                    world, k, world_c, c, slots_k, slots_c, lm_k, lm_c
+                )
+                inliers = jnp.asarray(valid)
         S, inl, n_inl = sim3_mod.optimize_sim3(
             self.cam, self.cam, res.S12,
             jnp.asarray(xc1), jnp.asarray(xc2), jnp.asarray(uv1), jnp.asarray(uv2),
-            jnp.asarray(is1), jnp.asarray(is2), res.inliers,
-            fix_scale=cfg.fix_scale,
+            jnp.asarray(is1), jnp.asarray(is2), inliers,
+            fix_scale=fix_scale,
         )
         if int(n_inl) < cfg.min_sim3_inliers:
             return None
@@ -338,13 +430,20 @@ class LoopCloser:
         self._essential_graph(world, k, c, R_old, t_old, s_old, R_init, t_init, s_init)
         # GBA (:1327-1334) — distributed over all available devices when the
         # mesh has more than one chip (obs-sharded Schur blocks psum-reduced;
-        # parallel/dist_ba), single-device otherwise
+        # parallel/dist_ba), single-device otherwise.  Inertial maps run
+        # FullInertialBA instead (RunGlobalBundleAdjustment branches on
+        # isImuInitialized, LoopClosing.cc:2065 -> Optimizer.cc:1276): the
+        # whole preintegration chain + landmarks, so gravity/velocity/bias
+        # stay consistent with the corrected poses
         if cfg.run_gba:
-            kf_ids = np.nonzero(world.kf_valid[:K])[0]
-            self.mapper._run_ba(
-                world, kf_ids, fixed=np.asarray([c]), iters=cfg.gba_iters,
-                distributed=True,
-            )
+            if getattr(world, "imu_initialized", False) and self.inertial_ba is not None:
+                self.inertial_ba(world, K - 1, window=K)
+            else:
+                kf_ids = np.nonzero(world.kf_valid[:K])[0]
+                self.mapper._run_ba(
+                    world, kf_ids, fixed=np.asarray([c]), iters=cfg.gba_iters,
+                    distributed=True,
+                )
 
     def _fuse_loop(self, world: WorldMap, k: int, c: int):
         """SearchAndFuse (:2261-2330): project loop-side landmarks into the
@@ -399,7 +498,12 @@ class LoopCloser:
         """OptimizeEssentialGraph (Optimizer.cc:1518-1827) over the whole map:
         temporal-chain (spanning-tree stand-in) + strong-covisibility +
         loop edges; measurements from pre-correction poses, initial values
-        post-correction, loop-candidate vertex fixed."""
+        post-correction, loop-candidate vertex fixed.
+
+        Inertial maps use the 4-DoF variant instead (yaw + translation,
+        gravity-aligned gauge — LoopClosing.cc:1288-1306 routes to
+        OptimizeEssentialGraph4DoF, Optimizer.cc:1830, because pitch/roll and
+        scale are observed by the IMU and must not be bent by the graph)."""
         cfg = self.cfg
         K = world.n_kf
         pairs = []  # (i, j)
@@ -437,14 +541,26 @@ class LoopCloser:
                 ms[e] = 1.0
         fixed = np.zeros(K, bool)
         fixed[c] = True
-        g = pg.Sim3Graph(
-            R=jnp.asarray(R_init[:K]), t=jnp.asarray(t_init[:K]), s=jnp.asarray(s_init[:K]),
-            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
-            meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt), meas_s=jnp.asarray(ms),
-            edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed), edge_w=jnp.ones(E),
-        )
-        Rn, tn, sn = pg.optimize_sim3_graph(g, iters=cfg.pose_graph_iters)
-        Rn, tn, sn = lie.normalize_rotation_np(np.asarray(Rn)), np.asarray(tn), np.asarray(sn)
+        if getattr(world, "imu_initialized", False):
+            g = pg.SE3Graph(
+                R=jnp.asarray(R_init[:K]), t=jnp.asarray(t_init[:K]),
+                edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+                meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt),
+                edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed),
+                edge_w=jnp.ones(E),
+            )
+            Rn, tn = pg.optimize_4dof_graph(g, iters=cfg.pose_graph_iters)
+            Rn, tn = lie.normalize_rotation_np(np.asarray(Rn)), np.asarray(tn)
+            sn = np.ones(K, np.float32)
+        else:
+            g = pg.Sim3Graph(
+                R=jnp.asarray(R_init[:K]), t=jnp.asarray(t_init[:K]), s=jnp.asarray(s_init[:K]),
+                edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+                meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt), meas_s=jnp.asarray(ms),
+                edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed), edge_w=jnp.ones(E),
+            )
+            Rn, tn, sn = pg.optimize_sim3_graph(g, iters=cfg.pose_graph_iters)
+            Rn, tn, sn = lie.normalize_rotation_np(np.asarray(Rn)), np.asarray(tn), np.asarray(sn)
         # correct all landmarks with their reference KF's Sim3 delta (:1780)
         lm_ids = np.nonzero(world.lm_valid[: world.n_lm])[0]
         if len(lm_ids):

@@ -352,10 +352,17 @@ class InertialTracker(Tracker):
             self.velocity = lie.SE3.identity()
 
     # ------------------------------------------------------------------
-    def _local_inertial_ba(self, k: int, window: int | None = None):
+    def _local_inertial_ba(self, k: int, window: int | None = None,
+                           world=None, sync_tracker: bool = True):
         """LocalInertialBA (Optimizer.cc:2426): sliding temporal window of
-        body states chained by preintegration edges + their landmarks."""
-        w = self.world
+        body states chained by preintegration edges + their landmarks.
+
+        With ``world``/``sync_tracker=False`` this doubles as MergeInertialBA
+        (Optimizer.cc:3996): the loop closer runs it on the freshly-merged map
+        so the welding window's poses/velocities/biases are re-optimized with
+        the preintegration edges, without touching the tracker's cached state
+        (the tracker rebases itself from the merge event afterwards)."""
+        w = world if world is not None else self.world
         icfg = self.icfg
         win = window or icfg.viba_window
         chain = [j for j in range(max(1, k - win + 1), k + 1) if j in w.kf_preint]
@@ -434,6 +441,8 @@ class InertialTracker(Tracker):
         w.kf_vel[real] = np.asarray(v2)[:n_real]
         w.kf_bias[real] = np.asarray(b2)[:n_real]
         w.lm_pos[lm_ids] = np.asarray(xw2)[: len(lm_ids)]
+        if not sync_tracker:
+            return
         self.cur_vel = jnp.asarray(w.kf_vel[real[-1]])
         self.cur_bias = jnp.asarray(w.kf_bias[real[-1]])
         # tracking continues from the adjusted newest KF

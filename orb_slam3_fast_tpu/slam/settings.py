@@ -6,7 +6,7 @@ the reference ships (``Examples/*/EuRoC.yaml`` etc.), including
 ``!!opencv-matrix`` nodes, camera type dispatch
 (PinHole/Rectified/KannalaBrandt8, Settings.h:48), stereo ``T_c1_c2``
 rectification precompute (``precomputeRectificationMaps``, Settings.cc:525-570,
-done here with cv2 when available), IMU noise terms, and ORB extractor
+done natively via ``ops/rectify.py``), IMU noise terms, and ORB extractor
 parameters.  Both the "File.version 1.0" typed schema (Camera1.fx) and the
 legacy flat schema (Camera.fx, parsed by Tracking::ParseCamParamFile in the
 reference) are accepted.
@@ -161,40 +161,37 @@ class Settings:
 
     # ------------------------------------------------------------------
     def precompute_rectification(self):
-        """cv::stereoRectify + initUndistortRectifyMap
-        (Settings.cc:525-570): produces per-camera remap grids and replaces
-        the camera model with the rectified pinhole."""
-        import cv2
+        """Native stereoRectify + initUndistortRectifyMap equivalent
+        (Settings.cc:525-570 uses cv2; here ``ops/rectify.py``): produces
+        per-camera remap grids and replaces the camera model with the
+        rectified pinhole."""
+        from orb_slam3_fast_tpu.ops import rectify as rect
 
         p1 = np.asarray(self.cam.params, dtype=np.float64)
         p2 = np.asarray(self.cam2.params, dtype=np.float64)
         K1 = np.array([[p1[0], 0, p1[2]], [0, p1[1], p1[3]], [0, 0, 1]])
         K2 = np.array([[p2[0], 0, p2[2]], [0, p2[1], p2[3]], [0, 0, 1]])
-        D1 = p1[4:9].reshape(-1, 1)
-        D2 = p2[4:9].reshape(-1, 1)
+        D1 = p1[4:9]
+        D2 = p2[4:9]
         T12 = self.T_c1_c2
-        # stereoRectify wants cam1->cam2: R21, t21 (Settings.cc:536-540)
+        # rectification wants cam1->cam2: R21, t21 (Settings.cc:536-540)
         R12, t12 = T12[:3, :3], T12[:3, 3]
         R21 = R12.T
         t21 = -R12.T @ t12
         wh = (self.width, self.height)
-        R1, R2, P1, P2, Q, _, _ = cv2.stereoRectify(
-            K1, D1, K2, D2, wh, R21, t21, flags=cv2.CALIB_ZERO_DISPARITY, alpha=-1
+        R1, R2, K_new, _, bf = rect.stereo_rectify(K1, D1, K2, D2, wh, R21, t21)
+        self.rect_map_left = rect.undistort_rectify_map(K1, D1, R1, K_new, wh)
+        self.rect_map_right = rect.undistort_rectify_map(K2, D2, R2, K_new, wh)
+        # rectified camera: shared intrinsics, no distortion
+        self.cam = cam_models.Camera.pinhole(
+            K_new[0, 0], K_new[1, 1], K_new[0, 2], K_new[1, 2]
         )
-        self.rect_map_left = cv2.initUndistortRectifyMap(
-            K1, D1, R1, P1[:3, :3], wh, cv2.CV_32F
-        )
-        self.rect_map_right = cv2.initUndistortRectifyMap(
-            K2, D2, R2, P2[:3, :3], wh, cv2.CV_32F
-        )
-        # rectified camera: P1 intrinsics, no distortion; bf from P2
-        self.cam = cam_models.Camera.pinhole(P1[0, 0], P1[1, 1], P1[0, 2], P1[1, 2])
-        self.bf = float(abs(P2[0, 3]))
+        self.bf = float(bf)
         self.camera_type = "Rectified"
 
     def rectify(self, img_l: np.ndarray, img_r: np.ndarray):
-        import cv2
+        from orb_slam3_fast_tpu.ops import rectify as rect
 
-        l = cv2.remap(img_l, *self.rect_map_left, cv2.INTER_LINEAR)
-        r = cv2.remap(img_r, *self.rect_map_right, cv2.INTER_LINEAR)
+        l = rect.remap_bilinear(img_l, *self.rect_map_left)
+        r = rect.remap_bilinear(img_r, *self.rect_map_right)
         return l, r

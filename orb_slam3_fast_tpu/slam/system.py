@@ -134,6 +134,14 @@ class System:
             )
         else:
             self.tracker = trk.Tracker(settings.cam, tcfg, **common)
+        if self.inertial and self.loopcloser is not None:
+            # MergeInertialBA (Optimizer.cc:3996): after a cross-map weld the
+            # loop closer re-optimizes the welding window with preintegration
+            # edges via the tracker's VI-BA (tracker state untouched — it
+            # rebases from the merge event)
+            self.loopcloser.inertial_ba = lambda w, kn: self.tracker._local_inertial_ba(
+                kn, world=w, sync_tracker=False
+            )
         self._finished = False
 
     # ------------------------------------------------------------------
@@ -152,10 +160,10 @@ class System:
         img = img.astype(np.float32)
         nw, nh = self.settings.new_width, self.settings.new_height
         if nw and nh and (img.shape[1] != nw or img.shape[0] != nh):
-            import cv2
+            from orb_slam3_fast_tpu.ops import rectify as rect
 
             with self.timers.span("resize"):
-                img = cv2.resize(img, (nw, nh))
+                img = rect.resize_bilinear(img, (nw, nh))
         return img
 
     def track_monocular(self, img, ts: float, imu=()):

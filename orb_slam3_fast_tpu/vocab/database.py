@@ -27,10 +27,21 @@ class KeyFrameDatabase:
         self.has_word = np.zeros((max_kf, n_words), dtype=bool)
         self.valid = np.zeros(max_kf, dtype=bool)
         self.map_id = np.full(max_kf, -1, dtype=np.int32)
+        self.sharded = None  # optional device-resident mirror (attach_mesh)
+
+    # ------------------------------------------------------------------
+    def attach_mesh(self, mesh):
+        """Shard the BoW matrix over a device mesh: scoring runs on-device,
+        row-parallel across chips (parallel/dist_kfdb.py); keyframe adds
+        ship one row.  Detach by setting ``self.sharded = None``."""
+        from orb_slam3_fast_tpu.parallel.dist_kfdb import ShardedKFDB
+
+        self.sharded = ShardedKFDB.from_host(mesh, self.bow)
 
     # ------------------------------------------------------------------
     def add(self, kf: int, bow: np.ndarray, map_id: int = 0):
         """KeyFrameDatabase::add (:37)."""
+        grew = False
         while kf >= self.max_kf:  # grow with the (multi-map) keyframe count
             pad = self.max_kf
             self.bow = np.concatenate([self.bow, np.zeros((pad, self.n_words), np.float32)])
@@ -38,10 +49,16 @@ class KeyFrameDatabase:
             self.valid = np.concatenate([self.valid, np.zeros(pad, bool)])
             self.map_id = np.concatenate([self.map_id, np.full(pad, -1, np.int32)])
             self.max_kf *= 2
+            grew = True
         self.bow[kf] = np.asarray(bow)
         self.has_word[kf] = self.bow[kf] > 0
         self.valid[kf] = True
         self.map_id[kf] = map_id
+        if self.sharded is not None:
+            if grew:
+                self.attach_mesh(self.sharded.mesh)  # re-shard at the new size
+            else:
+                self.sharded.set_row(kf, self.bow[kf])
 
     def erase(self, kf: int):
         """KeyFrameDatabase::erase (:47)."""
@@ -54,10 +71,13 @@ class KeyFrameDatabase:
     # ------------------------------------------------------------------
     def _scores(self, query_bow: np.ndarray, exclude: np.ndarray):
         """Returns (common_words, l1_score, eligible-mask) vs all stored KFs."""
-        q_has = query_bow > 0
-        common = (self.has_word & q_has[None, :]).sum(1)
         elig = self.valid.copy()
         elig[exclude] = False
+        if self.sharded is not None:  # row-parallel on the mesh
+            common, score = self.sharded.scores(query_bow)
+            return common, score, elig
+        q_has = query_bow > 0
+        common = (self.has_word & q_has[None, :]).sum(1)
         # DBoW2 L1 score: 1 - 0.5 |v - w|_1 (both L1-normalized)
         score = 1.0 - 0.5 * np.abs(self.bow - query_bow[None, :]).sum(1)
         return common, score, elig

@@ -65,6 +65,80 @@ def test_loop_closes_and_reduces_drift():
 
 
 @pytest.mark.slow
+def test_inertial_loop_uses_4dof_graph(monkeypatch):
+    """Once a map is IMU-initialized, loop correction must (a) fix the Sim3
+    scale during verification (LoopClosing.cc:651 bFixedScale) and (b) route
+    the essential graph through the 4-DoF gravity-aligned variant
+    (LoopClosing.cc:1288-1306 -> OptimizeEssentialGraph4DoF) instead of the
+    Sim3 graph.  Same circle as the visual test with the inertial flag set
+    after initialization; the loop must still close and correct drift."""
+    from orb_slam3_fast_tpu.optim import pose_graph as pg
+
+    calls = {"4dof": 0, "sim3": 0}
+    orig4, orig7 = pg.optimize_4dof_graph, pg.optimize_sim3_graph
+
+    def count4(*a, **k):
+        calls["4dof"] += 1
+        return orig4(*a, **k)
+
+    def count7(*a, **k):
+        calls["sim3"] += 1
+        return orig7(*a, **k)
+
+    monkeypatch.setattr(pg, "optimize_4dof_graph", count4)
+    monkeypatch.setattr(pg, "optimize_sim3_graph", count7)
+
+    rng = np.random.default_rng(0)
+    world = syn.make_ring_world(rng)
+    poses = syn.circle_trajectory(150, radius=4.0, frac=1.12)
+    voc = voc_mod.default_vocabulary()
+    kfdb = db_mod.KeyFrameDatabase(voc.n_words, max_kf=256)
+    mapper = Mapper(CAM, sigma2=ext.level_sigma2(CFG.extractor))
+    lc = LoopCloser(CAM, voc, kfdb, mapper,
+                    cfg=LoopCloserConfig(min_covis_edge=30, temporal_gap=15),
+                    sigma2=ext.level_sigma2(CFG.extractor))
+    # stub FullInertialBA hook (System wires the real VI-BA): record the
+    # dispatch, fall back to the mapper's visual GBA so drift still corrects
+    viba_calls = []
+
+    def fake_full_inertial_ba(w, k, window=None):
+        viba_calls.append((k, window))
+        kf_ids = np.nonzero(w.kf_valid[: w.n_kf])[0]
+        mapper._run_ba(w, kf_ids, fixed=np.asarray([0]), iters=(8, 12))
+
+    lc.inertial_ba = fake_full_inertial_ba
+    t = trk.Tracker(
+        CAM, CFG,
+        world=WorldMap(kp_cap=ext.total_capacity(CFG.extractor), max_kf=256),
+        mapper=mapper, voc=voc, kfdb=kfdb, loopcloser=lc,
+    )
+    gt, est, ts = [], [], []
+    for i, T in enumerate(poses):
+        img = syn.render(world, CAM, T)
+        state, pose = t.process_mono(img, i * 0.05)
+        if i == 30 and t.world.n_kf > 2:
+            # stand-in for InertialTracker's IMU initialization flipping the
+            # map flag (Map::SetImuInitialized) — the geometry is already
+            # metric in this synthetic world, so fixing scale is consistent
+            t.world.imu_initialized = True
+        if state == trk.OK and pose is not None:
+            R, tt = pose
+            est.append(-R.T @ tt)
+            gt.append(np.asarray(T.inverse().t))
+            ts.append(i * 0.05)
+    assert t.state == trk.OK
+    assert lc.n_loops_closed >= 1, "inertial loop was never closed"
+    assert calls["4dof"] >= 1, "4-DoF essential graph was not used"
+    assert calls["sim3"] == 0, "Sim3 graph must not run on an inertial map"
+    assert viba_calls, "GBA did not route through FullInertialBA"
+    assert viba_calls[0][1] == viba_calls[0][0] + 1  # window spans the chain
+    # scale was fixed throughout: alignment WITHOUT scale must already be good
+    rmse, n, _ = ate.ate_rmse(np.asarray(ts), np.asarray(est),
+                              np.asarray(ts), np.asarray(gt), with_scale=False)
+    assert rmse < 0.35, f"post-loop ATE {rmse:.3f} m"
+
+
+@pytest.mark.slow
 def test_keyframe_db_excludes_recent():
     """Without a loop closer the same run must still track (control case), and
     the DB never returns temporally-adjacent candidates."""
