@@ -242,7 +242,13 @@ class LoopCloser:
         candidate Sim3; mutually-agreeing pairs extend the BoW correspondence
         set before OptimizeSim3 (the reference accepts a loop only after this
         densification pushes the inlier count past its gates)."""
-        scales8 = jnp.asarray((1.2 ** np.arange(8)).astype(np.float32))
+        # derive level count + per-level scale from the extractor's sigma2
+        # table (scale_l = sqrt(sigma2_l / sigma2_0)) instead of assuming the
+        # default 8-level/1.2 pyramid
+        n_lvl = len(self.sigma2)
+        lvl_scales = np.sqrt(self.sigma2 / self.sigma2[0]).astype(np.float32)
+        log_sf = float(np.log(lvl_scales[1])) if n_lvl > 1 else 1.0
+        scales8 = jnp.asarray(lvl_scales)
         dirs = []
         for wa, a, wb, b, S in (
             (world_c, c, world, k, S_kc),
@@ -258,7 +264,7 @@ class LoopCloser:
             dist = np.linalg.norm(xcb, axis=1)
             ratio = np.maximum(wa.lm_dmax[lm] / np.maximum(dist, 1e-9), 1.0)
             pred_level = np.clip(
-                np.ceil(np.log(ratio) / np.log(1.2)).astype(np.int32), 0, 7
+                np.ceil(np.log(ratio) / log_sf).astype(np.int32), 0, n_lvl - 1
             )
             idx, accept = _search_proj(
                 _kf_keypoints(wb, b),
@@ -313,10 +319,15 @@ class LoopCloser:
         inliers = res.inliers
         extra = self._search_by_sim3(world, k, world_c, c, res.S12)
         if extra is not None:
-            known = set(zip(slots_k.tolist(), slots_c.tolist()))
+            # the reference's SearchBySim3 skips features that already have a
+            # match (ORBmatcher.cc:1425-1433 vbAlreadyMatched) — exclude any
+            # pair whose k-slot OR c-slot is already in the BoW set, else one
+            # keypoint enters OptimizeSim3 twice with different landmarks
+            known_k = set(slots_k.tolist())
+            known_c = set(slots_c.tolist())
             fresh = [
-                i for i, p in enumerate(zip(extra[0].tolist(), extra[1].tolist()))
-                if p not in known
+                i for i, (sk, sc) in enumerate(zip(extra[0].tolist(), extra[1].tolist()))
+                if sk not in known_k and sc not in known_c
             ]
             if fresh:
                 slots_k = np.concatenate([slots_k, extra[0][fresh]])

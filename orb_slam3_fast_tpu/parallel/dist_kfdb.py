@@ -56,7 +56,7 @@ class ShardedKFDB:
 
     def __init__(self, mesh: Mesh, n_words: int, max_kf: int, axis: str = "obs"):
         if max_kf % mesh.devices.size:
-            raise ValueError("max_kf must divide the mesh size")
+            raise ValueError("max_kf must be divisible by the mesh device count")
         self.mesh = mesh
         self.axis = axis
         self.n_words = n_words

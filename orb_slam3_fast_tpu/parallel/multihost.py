@@ -43,13 +43,30 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     auto = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
-    if not explicit and not auto:
-        return False  # single-host: local devices only
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
+    # On Cloud TPU pod slices jax.distributed auto-detects the coordinator
+    # from TPU metadata with NO coordinator env var set — gate on the pod
+    # environment markers too, not just COORDINATOR_ADDRESS-style variables
+    tpu_pod = any(
+        os.environ.get(v)
+        for v in (
+            "TPU_WORKER_HOSTNAMES",
+            "TPU_WORKER_ID",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "CLOUD_TPU_TASK_ID",
+        )
     )
+    if not explicit and not auto and not tpu_pod:
+        return False  # single-host: local devices only
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # single-process run with pod-looking env (e.g. one-host v4-8):
+        # local devices already form the full mesh
+        return False
     _initialized = True
     return True
 

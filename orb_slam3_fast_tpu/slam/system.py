@@ -139,8 +139,10 @@ class System:
             # loop closer re-optimizes the welding window with preintegration
             # edges via the tracker's VI-BA (tracker state untouched — it
             # rebases from the merge event)
-            self.loopcloser.inertial_ba = lambda w, kn: self.tracker._local_inertial_ba(
-                kn, world=w, sync_tracker=False
+            self.loopcloser.inertial_ba = (
+                lambda w, kn, window=None: self.tracker._local_inertial_ba(
+                    kn, window=window, world=w, sync_tracker=False
+                )
             )
         self._finished = False
 
