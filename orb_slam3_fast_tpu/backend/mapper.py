@@ -202,17 +202,25 @@ class Mapper:
         if len(lm_ids) == 0:
             return
         K = world.n_kf
+        # ONE pass over the observation table for the whole landmark set
+        # (native COO gather; was an O(K*N) scan per landmark — r3 weak #3)
+        kfs, lml, ss = world.observations_of(lm_ids, np.arange(K))
         descs = np.zeros((len(lm_ids), max_obs, 256), dtype=np.int8)
         counts = np.zeros(len(lm_ids), dtype=np.int32)
-        obs = world.kf_obs[:K]
-        for i, lid in enumerate(lm_ids):
-            kfs, ss = np.nonzero(obs == lid)
-            n = min(len(kfs), max_obs)
-            if n == 0:
-                continue
-            # prefer the most recent observations
-            descs[i, :n] = world.kf_desc[kfs[-n:], ss[-n:]]
-            counts[i] = n
+        if len(kfs):
+            # triplets are kf-major ascending; keep the LAST max_obs per
+            # landmark (most recent observations), vectorized by ranking
+            # each triplet from its group's end
+            order = np.argsort(lml, kind="stable")
+            lml_s, kfs_s, ss_s = lml[order], kfs[order], ss[order]
+            group_end = np.searchsorted(lml_s, np.arange(len(lm_ids)), side="right")
+            rank_from_end = group_end[lml_s] - 1 - np.arange(len(lml_s))
+            keep = rank_from_end < max_obs
+            row = lml_s[keep]
+            col = rank_from_end[keep]
+            descs[row, col] = world.kf_desc[kfs_s[keep], ss_s[keep]]
+            counts = np.bincount(row, minlength=len(lm_ids)).astype(np.int32)
+            counts = np.minimum(counts, max_obs)
         have = counts > 0
         d = descs[have].astype(np.int16)
         # pairwise Hamming per landmark: (n, max_obs, max_obs)
@@ -371,18 +379,14 @@ class Mapper:
             # fresh association
             fresh = existing < 0
             world.add_observations(b, tgt_slots[fresh], src_lm[fresh])
-            # duplicate: keep the landmark with more observations
+            # duplicate: keep the landmark with more observations — batched
+            # Replace() (one remap pass, WorldMap.replace_landmarks)
             dup = (~fresh) & (existing != src_lm)
-            for s, l_new, l_old in zip(tgt_slots[dup], src_lm[dup], existing[dup]):
-                keep, drop = (
-                    (l_new, l_old)
-                    if world.lm_n_obs[l_new] >= world.lm_n_obs[l_old]
-                    else (l_old, l_new)
-                )
-                obs = world.kf_obs[: world.n_kf]
-                obs[obs == drop] = keep
-                world.lm_valid[drop] = False
-                world.lm_n_obs[keep] = (obs == keep).sum()
+            n_new = world.lm_n_obs[src_lm[dup]]
+            n_old = world.lm_n_obs[existing[dup]]
+            keeps = np.where(n_new >= n_old, src_lm[dup], existing[dup])
+            drops = np.where(n_new >= n_old, existing[dup], src_lm[dup])
+            world.replace_landmarks(list(zip(keeps, drops)))
 
     # ------------------------------------------------------------------
     def _cull_landmarks(self, world: WorldMap, k: int):
@@ -443,29 +447,20 @@ class Mapper:
         self._run_ba(world, np.asarray(window + fixed), fixed=np.asarray(fixed),
                      iters=(5, 10), map_lock=map_lock)
 
-    def _run_ba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray, iters=(5, 10),
-                map_lock=None, distributed=False, obs_cap=None, lm_cap=None):
-        """Problem gather and write-back hold the map lock (async backend);
-        the BA device solve itself runs unlocked so tracking overlaps it.
-        ``distributed=True`` shards the observation table over all available
-        devices and reduces the normal-equation blocks with psum (the global
-        BA path; parallel/dist_ba)."""
-        import contextlib
-
-        lock = map_lock if map_lock is not None else contextlib.nullcontext()
-        cfg = self.cfg
-        lm_cap = lm_cap or cfg.ba_lm_cap
-        obs_cap = obs_cap or cfg.ba_obs_cap
+    def _gather_problem(self, world: WorldMap, kf_ids, fixed, lock,
+                        lm_cap=None, obs_cap=None):
+        """COO observation gather + static-shape padding under the map lock.
+        Returns (prob, lm_ids, obs arrays, pose_fixed, n_o) or None."""
         with lock:
             lm_ids = world.local_landmarks(kf_ids)
             if len(lm_ids) == 0:
-                return
-            if len(lm_ids) > lm_cap:
+                return None
+            if lm_cap is not None and len(lm_ids) > lm_cap:
                 lm_ids = lm_ids[:lm_cap]
             obs_kf, obs_lm, slots = world.observations_of(lm_ids, kf_ids)
         if len(obs_kf) == 0:
-            return
-        if len(obs_kf) > obs_cap:
+            return None
+        if obs_cap is not None and len(obs_kf) > obs_cap:
             sel = np.random.default_rng(0).choice(len(obs_kf), obs_cap, replace=False)
             obs_kf, obs_lm, slots = obs_kf[sel], obs_lm[sel], slots[sel]
 
@@ -514,6 +509,47 @@ class Mapper:
             obs_is_stereo=jnp.asarray(o_stereo),
             obs_valid=jnp.asarray(o_valid),
         )
+        return prob, lm_ids, obs_kf, obs_lm, slots, pose_fixed, n_o
+
+    def _write_back(self, world: WorldMap, lock, kf_ids, lm_ids,
+                    obs_kf, obs_lm, slots, pose_fixed, n_o, R, t, xw, inlier):
+        """Write optimized poses/landmarks + drop outlier observations
+        (Optimizer.cc:1398-1420 erase loop).  Rotations projected to SO(3)."""
+        from orb_slam3_fast_tpu.utils import lie as lie_mod
+
+        R_np = lie_mod.normalize_rotation_np(np.asarray(R)[: len(kf_ids)])
+        t_np = np.asarray(t)[: len(kf_ids)]
+        xw_np = np.asarray(xw)[: len(lm_ids)]
+        inl = np.asarray(inlier)[:n_o]
+        with lock:
+            free = ~pose_fixed[: len(kf_ids)]
+            world.kf_R[kf_ids[free]] = R_np[free]
+            world.kf_t[kf_ids[free]] = t_np[free]
+            world.lm_pos[lm_ids] = xw_np
+            bad = ~inl
+            world.kf_obs[kf_ids[obs_kf[bad]], slots[bad]] = -1
+            lm_all = lm_ids[obs_lm]
+            np.subtract.at(world.lm_n_obs, lm_all[bad], 1)
+            world.change_index += 1  # Map::IncreaseChangeIndex (Map.cc:306)
+
+    def _run_ba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray, iters=(5, 10),
+                map_lock=None, distributed=False, obs_cap=None, lm_cap=None):
+        """Problem gather and write-back hold the map lock (async backend);
+        the BA device solve itself runs unlocked so tracking overlaps it.
+        ``distributed=True`` shards the observation table over all available
+        devices and reduces the normal-equation blocks with psum (the global
+        BA path; parallel/dist_ba)."""
+        import contextlib
+
+        lock = map_lock if map_lock is not None else contextlib.nullcontext()
+        cfg = self.cfg
+        got = self._gather_problem(
+            world, kf_ids, fixed, lock,
+            lm_cap=lm_cap or cfg.ba_lm_cap, obs_cap=obs_cap or cfg.ba_obs_cap,
+        )
+        if got is None:
+            return
+        prob, lm_ids, obs_kf, obs_lm, slots, pose_fixed, n_o = got
         if distributed and len(jax.devices()) > 1:
             from orb_slam3_fast_tpu.parallel import dist_ba
 
@@ -527,21 +563,102 @@ class Mapper:
             R, t, xw, inlier = ba.bundle_adjust(
                 self.cam, jnp.float32(self.bf), prob, iters1=iters[0], iters2=iters[1]
             )
-        # write back free poses + landmarks (rotations projected to SO(3) —
-        # see lie.normalize_rotation_np)
+        self._write_back(world, lock, kf_ids, lm_ids, obs_kf, obs_lm, slots,
+                         pose_fixed, n_o, R, t, xw, inlier)
+
+    def _run_gba(self, world: WorldMap, kf_ids: np.ndarray, fixed: np.ndarray,
+                 iters=(8, 12), map_lock=None, abort_flag=None, distributed=False,
+                 cg_iters: int = 32):
+        """TRULY global BA: every given keyframe, every landmark, every
+        observation — NO subsampling (Optimizer::GlobalBundleAdjustemnt,
+        /root/reference/src/Optimizer.cc:47-373) — via the implicit-Schur CG
+        engine (optim/ba_cg.py), host-segmented so ``abort_flag`` can land
+        mid-solve (the reference's mbStopGBA + setForceStopFlag,
+        LoopClosing.cc:1072-1086, Optimizer.cc:1206).
+
+        Afterwards, keyframes/landmarks created WHILE the solve ran are
+        corrected through their reference keyframes (spanning-tree walk,
+        LoopClosing.cc:2443-2649).  Returns True if the GBA completed."""
+        import contextlib
+
+        from orb_slam3_fast_tpu.optim import ba_cg
         from orb_slam3_fast_tpu.utils import lie as lie_mod
 
-        R_np = lie_mod.normalize_rotation_np(np.asarray(R)[: len(kf_ids)])
-        t_np = np.asarray(t)[: len(kf_ids)]
-        xw_np = np.asarray(xw)[: len(lm_ids)]
-        inl = np.asarray(inlier)[:n_o]
+        lock = map_lock if map_lock is not None else contextlib.nullcontext()
+        got = self._gather_problem(world, kf_ids, fixed, lock, lm_cap=None, obs_cap=None)
+        if got is None:
+            return False
+        prob, lm_ids, obs_kf, obs_lm, slots, pose_fixed, n_o = got
         with lock:
-            free = ~pose_fixed[: len(kf_ids)]
-            world.kf_R[kf_ids[free]] = R_np[free]
-            world.kf_t[kf_ids[free]] = t_np[free]
-            world.lm_pos[lm_ids] = xw_np
-            # drop outlier observations (Optimizer.cc:1398-1420 erase loop)
-            bad = ~inl
-            world.kf_obs[kf_ids[obs_kf[bad]], slots[bad]] = -1
-            lm_all = lm_ids[obs_lm]
-            np.subtract.at(world.lm_n_obs, lm_all[bad], 1)
+            K_snap = world.n_kf
+            M_snap = world.n_lm
+            R_before = world.kf_R[:K_snap].copy()
+            t_before = world.kf_t[:K_snap].copy()
+        if distributed and len(jax.devices()) > 1:
+            from orb_slam3_fast_tpu.parallel import dist_ba
+
+            mesh = dist_ba.make_mesh()
+            sharded = dist_ba.shard_problem(prob, mesh)
+            run = dist_ba.get_distributed_ba_cg(
+                mesh, self.cam, jnp.float32(self.bf),
+                iters1=iters[0], iters2=iters[1], cg_iters=cg_iters,
+            )
+            R, t, xw, inlier, _ = run(sharded)
+            if abort_flag is not None and abort_flag.is_set():
+                return False
+        else:
+            R, t, xw, inlier, aborted = ba_cg.bundle_adjust_cg(
+                self.cam, jnp.float32(self.bf), prob,
+                iters1=iters[0], iters2=iters[1], cg_iters=cg_iters,
+                abort_flag=abort_flag,
+            )
+            if aborted:
+                return False  # reference discards an aborted GBA (:2412-2422)
+        with lock:
+            self._write_back(
+                world, contextlib.nullcontext(), kf_ids, lm_ids,
+                obs_kf, obs_lm, slots, pose_fixed, n_o, R, t, xw, inlier,
+            )
+            # spanning-tree correction of KFs inserted during the solve
+            # (LoopClosing.cc:2443-2649: children walk with mTcwBefGBA):
+            # each new KF k gets T_k' = (T_k * T_p^-1) * T_p' through its
+            # best-covisible already-corrected predecessor p < k; ascending
+            # order makes the walk transitive when p is itself new
+            old_R: dict[int, np.ndarray] = {}
+            old_t: dict[int, np.ndarray] = {}
+            for k in range(K_snap, world.n_kf):
+                if not world.kf_valid[k]:
+                    continue
+                counts = world.covisibility_counts(k)[:k]
+                if len(counts) and counts.max() > 0:
+                    # max-weight parent, ties broken toward the temporally
+                    # closest (the reference's spanning-tree parent is the
+                    # most recent max-covisible KF)
+                    p = k - 1 - int(np.argmax(counts[::-1]))
+                else:
+                    p = k - 1
+                p_R_old = R_before[p] if p < K_snap else old_R.get(p, world.kf_R[p])
+                p_t_old = t_before[p] if p < K_snap else old_t.get(p, world.kf_t[p])
+                R_k_old = world.kf_R[k].copy()
+                t_k_old = world.kf_t[k].copy()
+                old_R[k], old_t[k] = R_k_old, t_k_old
+                # T_rel = T_k_old * inv(T_p_old)
+                R_rel = R_k_old @ p_R_old.T
+                t_rel = t_k_old - R_rel @ p_t_old
+                world.kf_R[k] = lie_mod.normalize_rotation_np(R_rel @ world.kf_R[p])
+                world.kf_t[k] = R_rel @ world.kf_t[p] + t_rel
+            # landmarks created during the solve: re-anchor through their
+            # first keyframe's correction (reference mPosGBA walk)
+            new_lm = np.arange(M_snap, world.n_lm)
+            new_lm = new_lm[world.lm_valid[new_lm]] if len(new_lm) else new_lm
+            for m in new_lm:
+                a = int(world.lm_first_kf[m])
+                if a < 0:
+                    continue
+                a_R_old = R_before[a] if a < K_snap else old_R.get(a)
+                a_t_old = t_before[a] if a < K_snap else old_t.get(a)
+                if a_R_old is None:
+                    continue
+                xc = a_R_old @ world.lm_pos[m] + a_t_old
+                world.lm_pos[m] = world.kf_R[a].T @ (xc - world.kf_t[a])
+        return True

@@ -79,8 +79,14 @@ class EuRoCLoader:
             ts = np.asarray([float(n) * 1e-9 for n in names])
             files = [os.path.join(d, n + ".png") for n in names]
         else:
-            files = sorted(glob.glob(os.path.join(d, "*.png")))
+            files = glob.glob(os.path.join(d, "*.png"))
             ts = np.asarray([float(os.path.splitext(os.path.basename(p))[0]) * 1e-9 for p in files])
+            # sort NUMERICALLY by timestamp: lexicographic filename order
+            # scrambles variable-width nanosecond names (real EuRoC names are
+            # fixed-width so both agree, but nothing guarantees that)
+            order = np.argsort(ts)
+            ts = ts[order]
+            files = [files[i] for i in order]
         return ts, files
 
     def _load_imu(self) -> np.ndarray:

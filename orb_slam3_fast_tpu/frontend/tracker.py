@@ -51,6 +51,9 @@ class TrackerConfig(NamedTuple):
     motion_radius: float = 15.0
     map_radius: float = 3.0
     max_recently_lost: int = 20  # frames before LOST
+    # timestamp discontinuity that spawns a fresh map (Tracking.cc:1818-1848
+    # checks mTimeStamp > mLastFrame.mTimeStamp + 1.0)
+    timestamp_jump: float = 1.0
     th_depth: float = 40.0  # stereo close-point threshold (x baseline)
     max_stereo_lm_per_kf: int = 350
     # Use u_r disparity residuals in per-frame pose optimization (the
@@ -159,6 +162,7 @@ class Tracker:
 
         self.timers = timers if timers is not None else StageTimers()
         self._seen_map_version = 0
+        self.map_updated = False  # mbMapUpdated (Tracking.cc:1884-1891)
         self.map_id = map_id if atlas is None else atlas.current_id
         if atlas is not None:
             world = atlas.current
@@ -202,6 +206,9 @@ class Tracker:
         il = jnp.asarray(img_l, dtype=jnp.float32)
         ir = jnp.asarray(img_r, dtype=jnp.float32)
         with self.timers.span("orb_extract"):
+            # two sequential programs (the vmap-batched pair variant was
+            # measured SLOWER on TPU: batched gathers in the keypoint stages
+            # cost more than the dispatch it saves — see bench r4 bisect)
             kp_l = ext.extract(il, self.cfg.extractor)
             kp_r = jax.block_until_ready(ext.extract(ir, self.cfg.extractor))
         if self.cam2 is not None and self.T_rl is not None:
@@ -260,6 +267,18 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _track(self, kp, ts, depth, right_u):
+        # timestamp-jump / backwards-clock detection (Tracking.cc:1818-1848):
+        # a rich map is kept and a fresh one spawned; a poor map is reset
+        if (
+            self.state != NOT_INITIALIZED
+            and self.last is not None
+            and (ts - self.last.ts > self.cfg.timestamp_jump or ts < self.last.ts)
+            and self.atlas is not None
+        ):
+            if self.world.n_kf > 10:
+                self._create_map_in_atlas()
+            else:
+                self._reset_active_map()
         if self.state == NOT_INITIALIZED:
             ok = self._initialize(kp, ts, depth, right_u)
             result = (self.state, self._cur_pose())
@@ -470,6 +489,7 @@ class Tracker:
                 self.velocity = lie.SE3.identity()
         if b.map_version != self._seen_map_version:
             self._seen_map_version = b.map_version
+            self.map_updated = True  # mbMapUpdated (Tracking.cc:1884-1891)
             r = self.ref_kf
             if r >= 0 and self.last is not None and hasattr(self, "_rel_to_ref"):
                 R_rel, t_rel = self._rel_to_ref
@@ -496,10 +516,19 @@ class Tracker:
                 if not ok:
                     ok, T_est, obs_lm, n_inl = self._track_reference_kf(kp, T_last)
         else:
-            # RECENTLY_LOST: relocalization (Tracking.cc:2053-2078 visual case)
-            ok, T_est, obs_lm, n_inl = self._relocalize(kp)
-            if ok:
-                self.velocity = lie.SE3.identity()
+            # RECENTLY_LOST: IMU prediction bridges the visual gap when
+            # available (Tracking.cc:1966-1977, InertialTracker override);
+            # else relocalization (Tracking.cc:2053-2078 visual case)
+            self._lost_pred_pose = None
+            T_imu = self._predict_lost_pose(ts)
+            if T_imu is not None:
+                ok, T_est, obs_lm, n_inl = (
+                    True, T_imu, np.full(self.kp_cap, -1, np.int32), 0
+                )
+            else:
+                ok, T_est, obs_lm, n_inl = self._relocalize(kp)
+                if ok:
+                    self.velocity = lie.SE3.identity()
 
         if ok:
             with self.timers.span("lm_track"):
@@ -507,13 +536,18 @@ class Tracker:
             ok = ok and ok2
 
         if not ok:
+            if self.lost_count == 0:
+                self._lost_since_ts = ts
             self.lost_count += 1
-            self.state = RECENTLY_LOST if self.lost_count < self.cfg.max_recently_lost else LOST
-            # hold the LAST good pose while lost (the reference only advances
-            # it via IMU prediction, Tracking.cc:1966-1977; compounding the
-            # stale velocity every lost frame diverges to overflow)
+            self.state = self._lost_state(ts)
+            # hold the LAST good pose while lost — unless the subclass
+            # advanced it by IMU prediction (Tracking.cc:1966-1977)
+            pred = getattr(self, "_lost_pred_pose", None)
+            hold_R, hold_t = (
+                pred if pred is not None else (last.R.copy(), last.t.copy())
+            )
             self.last = FrameState(
-                kp, ts, last.R.copy(), last.t.copy(),
+                kp, ts, hold_R, hold_t,
                 np.full(self.kp_cap, -1, np.int32), depth, right_u,
             )
             if self.state == LOST and self.atlas is not None:
@@ -690,9 +724,29 @@ class Tracker:
                 return True, T, obs_out, n_inl
         return False, T0, None, 0
 
+    def _predict_lost_pose(self, ts):
+        """Pose prediction while visually lost — None for the pure-visual
+        tracker (the reference only advances the pose by IMU prediction,
+        Tracking.cc:1966-1977; InertialTracker overrides)."""
+        return None
+
+    def _lost_state(self, ts):
+        """RECENTLY_LOST vs LOST decision.  Visual: frame-count bound; the
+        inertial override uses the reference's wall-clock grace window
+        (time_recently_lost, Tracking.cc:69)."""
+        return (
+            RECENTLY_LOST if self.lost_count < self.cfg.max_recently_lost else LOST
+        )
+
     def _create_map_in_atlas(self):
         """Tracking::CreateMapInAtlas (Tracking.cc:2607-2649): keep the old
         map in the Atlas, start tracking into a fresh one."""
+        from orb_slam3_fast_tpu.utils import verbose
+
+        verbose.print_mess(
+            f"Creation of new map with id {self.atlas.current_id + 1}",
+            verbose.VERBOSITY_NORMAL,
+        )
         self.world = self.atlas.create_new_map()
         self.map_id = self.atlas.current_id
         self._reset_tracking_state()

@@ -54,6 +54,13 @@ class InertialConfig(NamedTuple):
     viba_lm_cap: int = 2048
     imu_bucket: int = 64  # padded per-frame IMU sample capacity
     fix_scale: bool = False  # stereo-inertial: scale known
+    # wall-clock grace while visually lost: the pose advances on IMU
+    # prediction and RECENTLY_LOST persists (time_recently_lost = 10 s,
+    # Tracking.cc:69, used at :1966-1977)
+    recently_lost_time: float = 10.0
+    # consecutive bad/non-finite IMU windows before the active map is reset
+    # (mbBadImu, LocalMapping.h:89 -> Tracking ResetActiveMap)
+    bad_imu_limit: int = 5
 
 
 def _body_from_camera(T_cb: lie.SE3, R_cw, t_cw):
@@ -93,6 +100,11 @@ class InertialTracker(Tracker):
         self.cur_bias = jnp.zeros(6)
         self.cur_vel = jnp.zeros(3)
         self.first_imu_frame_ts: float | None = None
+        # marginalization prior on the previous frame's 15-D state
+        # (ConstraintPoseImu, G2oTypes.h:698-781) — carried frame to frame,
+        # dropped whenever the world was transformed under the tracker
+        self._prior: inertial.PriorState | None = None
+        self._bad_imu_count = 0
 
     # ------------------------------------------------------------------
     def _preintegrate_frame(self, ts: float):
@@ -130,6 +142,21 @@ class InertialTracker(Tracker):
             jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts),
             self.cur_bias, self.noise, valid=jnp.asarray(val),
         )
+        # bad-IMU detection (mbBadImu, LocalMapping.h:89): corrupt samples
+        # (NaN/inf) poison every downstream factor — after a few consecutive
+        # bad windows the reference resets the active map
+        if not bool(
+            np.isfinite(np.asarray(fp.dV)).all()
+            and np.isfinite(np.asarray(fp.dP)).all()
+            and np.isfinite(np.asarray(fp.dR)).all()
+        ):
+            self._bad_imu_count += 1
+            self.frame_preint = None
+            if self._bad_imu_count >= self.icfg.bad_imu_limit and self.atlas is not None:
+                self._reset_active_map()
+                self._bad_imu_count = 0
+            return
+        self._bad_imu_count = 0
         self.frame_preint = fp
         if self.kf_preint is None:
             self.kf_preint = fp
@@ -154,7 +181,57 @@ class InertialTracker(Tracker):
             self.kf_preint = None
         return out
 
+    def _reset_tracking_state(self):
+        super()._reset_tracking_state()
+        self.cur_bias = jnp.zeros(6)
+        self.cur_vel = jnp.zeros(3)
+        self.frame_preint = None
+        self.kf_preint = None
+        self._prior = None
+        self.first_imu_frame_ts = None
+
+    # ------------------------------------------------------------------
+    def _predict_lost_pose(self, ts):
+        """IMU-only pose prediction while RECENTLY_LOST (Tracking.cc:
+        1966-1977): the body state advances on the preintegrated window so
+        tracking can re-lock through the local map once features return.
+        None once the grace window expires (or without an initialized IMU)."""
+        if not (
+            self.world.imu_initialized
+            and self.frame_preint is not None
+            and self.last is not None
+        ):
+            return None
+        if ts - getattr(self, "_lost_since_ts", ts) > self.icfg.recently_lost_time:
+            return None
+        R_wb, p_wb = _body_from_camera(self.T_cb, self.last.R, self.last.t)
+        R2, p2, v2 = pre.predict_state(
+            R_wb, p_wb, self.cur_vel, self.frame_preint, self.cur_bias
+        )
+        Rc, tc = _camera_from_body(self.T_cb, R2, p2)
+        self.cur_vel = v2
+        self._prior = None  # no visual anchor: the marginal is stale
+        R_np = lie.normalize_rotation_np(np.asarray(Rc))
+        t_np = np.asarray(tc)
+        self._lost_pred_pose = (R_np, t_np)
+        return lie.SE3(jnp.asarray(R_np), jnp.asarray(t_np))
+
+    def _lost_state(self, ts):
+        if self.world.imu_initialized:
+            from orb_slam3_fast_tpu.frontend.tracker import LOST, RECENTLY_LOST
+
+            grace = self.icfg.recently_lost_time
+            return (
+                RECENTLY_LOST
+                if ts - getattr(self, "_lost_since_ts", ts) <= grace
+                else LOST
+            )
+        return super()._lost_state(ts)
+
     def _track_frame(self, kp, ts, depth, right_u) -> bool:
+        if self.state != OK:
+            # lost/reloc frames have no trustworthy marginal to carry
+            self._prior = None
         # IMU prediction replaces the constant-velocity model once initialized
         if self.world.imu_initialized and self.frame_preint is not None and self.last is not None:
             R_wb, p_wb = _body_from_camera(self.T_cb, self.last.R, self.last.t)
@@ -192,13 +269,53 @@ class InertialTracker(Tracker):
             xw=jnp.asarray(xw), uv=jnp.asarray(uv), inv_sigma2=jnp.asarray(inv_s2),
             is_stereo=jnp.asarray(stereo), valid=jnp.asarray(valid),
         )
-        R_prev, p_prev = _body_from_camera(self.T_cb, self.last.R, self.last.t)
-        s_prev = inertial.BodyState(R_prev, p_prev, self.cur_vel, self.cur_bias)
         R0, p0 = _body_from_camera(self.T_cb, np.asarray(T0.R), np.asarray(T0.t))
         v0 = getattr(self, "_pred_vel", self.cur_vel)
         s0 = inertial.BodyState(R0, p0, v0, self.cur_bias)
-        state, inlier, n_inl = inertial.pose_inertial_optimization(
-            self.cam, jnp.float32(self.bf), self.T_cb, s_prev, self.frame_preint, s0, obs
+        # anchor alternation (Tracking.cc:2897-2921): after a map update the
+        # last KEYFRAME (just re-optimized, well-estimated, treated fixed)
+        # anchors the window; otherwise the last FRAME does, free under its
+        # marginalization prior, which is then re-marginalized for the next
+        # frame (PoseInertialOptimizationLastKeyFrame / LastFrame)
+        w = self.world
+        k_last = w.n_kf - 1
+        use_kf = (
+            self.map_updated
+            and k_last >= 0
+            and self.kf_preint is not None
+            and float(self.kf_preint.dT) > 1e-6
+        )
+        if use_kf:
+            R_prev, p_prev = _body_from_camera(
+                self.T_cb, w.kf_R[k_last], w.kf_t[k_last]
+            )
+            s_prev = inertial.BodyState(
+                R_prev, p_prev, jnp.asarray(w.kf_vel[k_last]),
+                jnp.asarray(w.kf_bias[k_last]),
+            )
+            state, inlier, n_inl, H = inertial.pose_inertial_optimization(
+                self.cam, jnp.float32(self.bf), self.T_cb, s_prev,
+                self.kf_preint, s0, obs,
+            )
+        else:
+            R_prev, p_prev = _body_from_camera(self.T_cb, self.last.R, self.last.t)
+            s_prev = inertial.BodyState(R_prev, p_prev, self.cur_vel, self.cur_bias)
+            if self._prior is not None:
+                state, inlier, n_inl, H = (
+                    inertial.pose_inertial_optimization_last_frame(
+                        self.cam, jnp.float32(self.bf), self.T_cb, s_prev,
+                        self._prior, self.frame_preint, s0, obs,
+                    )
+                )
+            else:
+                state, inlier, n_inl, H = inertial.pose_inertial_optimization(
+                    self.cam, jnp.float32(self.bf), self.T_cb, s_prev,
+                    self.frame_preint, s0, obs,
+                )
+        self.map_updated = False
+        H_np = np.asarray(H)
+        self._prior = (
+            inertial.PriorState(state=state, H=H) if np.isfinite(H_np).all() else None
         )
         self.cur_vel = state.v
         self.cur_bias = state.bias
@@ -301,7 +418,14 @@ class InertialTracker(Tracker):
             self.last.t = float(s) * self.last.t
         self.velocity = lie.SE3.identity()
         w.imu_initialized = True
+        self._prior = None  # world was rescaled/rotated under the tracker
         self._imu_init_ts = float(w.kf_ts[w.n_kf - 1])
+        from orb_slam3_fast_tpu.utils import verbose
+
+        verbose.print_mess(
+            f"IMU initialized: scale {float(s):.4f}, {len(chain)} nodes",
+            verbose.VERBOSITY_NORMAL,
+        )
         # full inertial BA over the chain (FullInertialBA, LocalMapping.cc:1340)
         self._local_inertial_ba(w.n_kf - 1, window=len(full))
 
@@ -350,6 +474,7 @@ class InertialTracker(Tracker):
                 self.last.t = (s * self.last.t).astype(np.float32)
             self.cur_vel = jnp.asarray(s * (np.asarray(self.cur_vel) @ R_gw.T))
             self.velocity = lie.SE3.identity()
+            self._prior = None
 
     # ------------------------------------------------------------------
     def _local_inertial_ba(self, k: int, window: int | None = None,

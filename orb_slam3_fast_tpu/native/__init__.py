@@ -61,6 +61,14 @@ def get_lib():
                                       ctypes.c_int64, i32p, ctypes.c_int64,
                                       i32p, ctypes.c_int64, i32p]
     lib.redundancy_counts.restype = None
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.covis_matrix.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int64, i32p, i32p, i32p]
+    lib.covis_matrix.restype = None
+    lib.landmark_stats.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                   i32p, ctypes.c_int64, fp, fp, fp, i32p,
+                                   i32p, i32p]
+    lib.landmark_stats.restype = None
     _lib = lib
     return lib
 
@@ -105,6 +113,47 @@ def observations_of(kf_obs: np.ndarray, kf_ids: np.ndarray, lm_local: np.ndarray
                             _ptr(out_kf, ctypes.c_int32), _ptr(out_lm, ctypes.c_int32),
                             _ptr(out_slot, ctypes.c_int32), cap)
     return out_kf[:n], out_lm[:n], out_slot[:n]
+
+
+def covis_matrix(kf_obs: np.ndarray, max_lm: int) -> np.ndarray | None:
+    """Full (K,K) covisibility matrix in one native pass; None -> caller
+    falls back to per-row covis_counts."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    K, N = kf_obs.shape
+    kf_obs = np.ascontiguousarray(kf_obs, dtype=np.int32)
+    lm_count = np.zeros(max_lm + 1, np.int32)
+    lm_list = np.empty(K * N, np.int32)
+    out = np.empty((K, K), np.int32)
+    lib.covis_matrix(_ptr(kf_obs, ctypes.c_int32), K, N, max_lm,
+                     _ptr(lm_count, ctypes.c_int32), _ptr(lm_list, ctypes.c_int32),
+                     _ptr(out, ctypes.c_int32))
+    return out
+
+
+def landmark_stats(kf_obs: np.ndarray, lm_local: np.ndarray, centers: np.ndarray,
+                   lm_pos: np.ndarray, n_out: int):
+    """(normal_sum (n,3), n_obs (n,), first_kf (n,), first_slot (n,)) over
+    ALL keyframes for the landmarks selected by lm_local; None -> numpy."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    K, N = kf_obs.shape
+    kf_obs = np.ascontiguousarray(kf_obs, dtype=np.int32)
+    lm_local = np.ascontiguousarray(lm_local, dtype=np.int32)
+    centers = np.ascontiguousarray(centers, dtype=np.float32)
+    lm_pos = np.ascontiguousarray(lm_pos, dtype=np.float32)
+    normal = np.zeros((n_out, 3), np.float32)
+    nobs = np.zeros(n_out, np.int32)
+    first_kf = np.full(n_out, -1, np.int32)
+    first_slot = np.zeros(n_out, np.int32)
+    lib.landmark_stats(_ptr(kf_obs, ctypes.c_int32), K, N,
+                       _ptr(lm_local, ctypes.c_int32), len(lm_local),
+                       _ptr(centers, ctypes.c_float), _ptr(lm_pos, ctypes.c_float),
+                       _ptr(normal, ctypes.c_float), _ptr(nobs, ctypes.c_int32),
+                       _ptr(first_kf, ctypes.c_int32), _ptr(first_slot, ctypes.c_int32))
+    return normal, nobs, first_kf, first_slot
 
 
 def redundancy_counts(kf_obs: np.ndarray, kf_level: np.ndarray, kf_sel: np.ndarray,

@@ -212,6 +212,11 @@ def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
     xy: (N,2) int32 pixel coords on this level.  Returns (N,) radians.
     Out-of-range keypoints read clamped patches — callers mask them.
+
+    NOTE a dense whole-image moment convolution (31x31 kernel, 2 output
+    channels) was tried here and REVERTED: with a single input channel XLA
+    TPU lowers the conv to rank-1 MXU work and the tracking step regressed
+    ~35x (bench r04).  Per-keypoint patch slices are the fast path.
     """
     r = PATCH_RADIUS
     pad = jnp.pad(img, r, mode="edge")
@@ -265,17 +270,39 @@ def total_capacity(cfg: ExtractorConfig) -> int:
     return sum(per_level_budget(cfg.n_features, cfg.n_levels, cfg.scale_factor))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypoints:
+# in-disc offsets + centroid weights for the flat-pyramid IC angle stage
+_disc_ys, _disc_xs = np.nonzero(CIRC_MASK)
+DISC_DY = (_disc_ys - PATCH_RADIUS).astype(np.int32)  # (D,)
+DISC_DX = (_disc_xs - PATCH_RADIUS).astype(np.int32)
+DISC_W = np.stack([DISC_DX, DISC_DY], axis=1).astype(np.float32)  # (D,2) [x,y]
+
+
+def _extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypoints:
     """Full ORB extraction on one grayscale image (H,W) float32 in [0,255].
 
     One jitted program covering what the reference spreads over
     ``ComputePyramid`` + TBB keypoint/descriptor loops
     (ORBextractor.cc:1015-1106).
+
+    Structure (r4): the dense stages (pyramid / FAST / NMS / selection) run
+    per level — their cost is pixel-proportional and small on the VPU — but
+    every KEYPOINT stage (subpixel fit, IC orientation, rotated BRIEF) runs
+    ONCE over all levels' keypoints against a FLATTENED pyramid buffer.
+    Measured on the bench harness, extraction time is dominated by the
+    keypoint-wise gather chains, not pixels (a 1280x720 step costs the same
+    as 640x480): fusing 8 per-level gather stages into one per stage is the
+    lever that matters.
     """
     levels = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    blurs = [image_ops.gaussian_blur(lv) for lv in levels]
     budgets = per_level_budget(cfg.n_features, cfg.n_levels, cfg.scale_factor)
-    outs = []
+
+    flat_img = jnp.concatenate([lv.reshape(-1) for lv in levels])
+    flat_blur = jnp.concatenate([b.reshape(-1) for b in blurs])
+    raw_flat_parts = []
+    xy_parts, resp_parts, valid_parts = [], [], []
+    off_parts, w_parts, h_parts, lvl_parts, scale_parts = [], [], [], [], []
+    off = 0
     for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
         h, w = lvl_img.shape
         score_raw = fast_ops.fast_with_fallback(lvl_img, cfg.ini_th_fast, cfg.min_th_fast)
@@ -290,28 +317,105 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypo
             & (xx < w - EDGE_BORDER)
         )
         score = jnp.where(inb, score, 0.0)
-        score_raw_inb = jnp.where(inb, score_raw, 0.0)  # dense, pre-NMS
+        raw_flat_parts.append(jnp.where(inb, score_raw, 0.0).reshape(-1))
         xy, resp, valid = select_keypoints(score, n_l, cfg.cell, cfg.cand_per_cell)
-        # subpixel refinement on the DENSE pre-NMS response (see
-        # subpixel_refine docstring; the sparse post-NMS fit was the round-1
-        # regression).  Orientation/BRIEF keep integer centers like the
-        # reference (cvRound in computeOrbDescriptor).
-        off = subpixel_refine(score_raw_inb, xy)
-        ang = ic_angles(lvl_img, xy)
-        blur = image_ops.gaussian_blur(lvl_img)
-        desc = brief_descriptors(blur, xy, ang)
-        scale = cfg.scale_factor**l
-        outs.append(
-            Keypoints(
-                xy=(xy.astype(jnp.float32) + off) * scale,
-                level=jnp.full((n_l,), l, dtype=jnp.int32),
-                angle=ang,
-                response=resp,
-                desc=desc,
-                valid=valid,
-            )
-        )
-    return Keypoints(*[jnp.concatenate([getattr(o, f) for o in outs], axis=0) for f in Keypoints._fields])
+        # clamp invalid/padded selections into the border-safe interior so
+        # the combined gather addresses below never leave their level
+        xq = jnp.clip(xy[:, 0], EDGE_BORDER, w - EDGE_BORDER - 1)
+        yq = jnp.clip(xy[:, 1], EDGE_BORDER, h - EDGE_BORDER - 1)
+        xy_parts.append(jnp.stack([xq, yq], axis=1))
+        resp_parts.append(resp)
+        valid_parts.append(valid)
+        off_parts.append(jnp.full((n_l,), off, jnp.int32))
+        w_parts.append(jnp.full((n_l,), w, jnp.int32))
+        h_parts.append(jnp.full((n_l,), h, jnp.int32))
+        lvl_parts.append(jnp.full((n_l,), l, jnp.int32))
+        scale_parts.append(jnp.full((n_l,), cfg.scale_factor**l, jnp.float32))
+        off += h * w
+
+    flat_raw = jnp.concatenate(raw_flat_parts)
+    xy_all = jnp.concatenate(xy_parts)  # (N,2) int32, level-local coords
+    resp = jnp.concatenate(resp_parts)
+    valid = jnp.concatenate(valid_parts)
+    k_off = jnp.concatenate(off_parts)
+    k_w = jnp.concatenate(w_parts)
+    k_h = jnp.concatenate(h_parts)
+    k_lvl = jnp.concatenate(lvl_parts)
+    k_scale = jnp.concatenate(scale_parts)
+    x = xy_all[:, 0]
+    y = xy_all[:, 1]
+    base = k_off + y * k_w + x  # flat index of each keypoint center
+
+    # --- subpixel parabola on the dense pre-NMS response (one gather x6;
+    # the sparse post-NMS fit was the round-1 regression)
+    c0 = flat_raw[base]
+    xm, xp = flat_raw[base - 1], flat_raw[base + 1]
+    ym, yp = flat_raw[base - k_w], flat_raw[base + k_w]
+    dx_den = 2.0 * c0 - xp - xm
+    dy_den = 2.0 * c0 - yp - ym
+    sub_x = jnp.where(dx_den > 1e-6, 0.5 * (xp - xm) / jnp.maximum(dx_den, 1e-6), 0.0)
+    sub_y = jnp.where(dy_den > 1e-6, 0.5 * (yp - ym) / jnp.maximum(dy_den, 1e-6), 0.0)
+    sub = jnp.stack(
+        [jnp.clip(sub_x, -0.5, 0.5), jnp.clip(sub_y, -0.5, 0.5)], axis=1
+    )
+
+    # --- IC orientation: one (N,D) disc gather + a (D,2) moment matmul
+    # (reference IC_Angle per keypoint, ORBextractor.cc:75-100)
+    disc_idx = (
+        base[:, None]
+        + jnp.asarray(DISC_DY)[None, :] * k_w[:, None]
+        + jnp.asarray(DISC_DX)[None, :]
+    )
+    patch = flat_img[disc_idx]  # (N,D)
+    m = patch @ jnp.asarray(DISC_W)  # (N,2): [m10, m01]
+    ang = jnp.arctan2(m[:, 1], m[:, 0])
+
+    # --- rotated BRIEF on the blurred flat pyramid: two (N,256) gathers
+    # (reference computeOrbDescriptor, ORBextractor.cc:102-147; the rotated
+    # pattern radius is <= 13 < EDGE_BORDER, so addresses stay in-level)
+    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256,4)
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    x1 = pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]
+    y1 = pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]
+    x2 = pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None]
+    y2 = pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None]
+    fx = x.astype(jnp.float32)[:, None]
+    fy = y.astype(jnp.float32)[:, None]
+    ix1 = jnp.clip(jnp.round(fx + x1).astype(jnp.int32), 0, k_w[:, None] - 1)
+    iy1 = jnp.clip(jnp.round(fy + y1).astype(jnp.int32), 0, k_h[:, None] - 1)
+    ix2 = jnp.clip(jnp.round(fx + x2).astype(jnp.int32), 0, k_w[:, None] - 1)
+    iy2 = jnp.clip(jnp.round(fy + y2).astype(jnp.int32), 0, k_h[:, None] - 1)
+    v1 = flat_blur[k_off[:, None] + iy1 * k_w[:, None] + ix1]
+    v2 = flat_blur[k_off[:, None] + iy2 * k_w[:, None] + ix2]
+    desc = (v1 < v2).astype(jnp.int8)
+
+    return Keypoints(
+        xy=(xy_all.astype(jnp.float32) + sub) * k_scale[:, None],
+        level=k_lvl,
+        angle=ang,
+        response=resp,
+        desc=desc,
+        valid=valid,
+    )
+
+
+extract = partial(jax.jit, static_argnames=("cfg",))(_extract)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_batch(imgs: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypoints:
+    """Batched ORB extraction on (B,H,W) images — ONE program for the whole
+    stereo pair instead of two sequential dispatches (the reference runs
+    left/right extraction on two std::threads, Frame.cc:200-203; here the
+    batch dim doubles every op's parallelism so the VPU/MXU stay fed).
+    Returns Keypoints with a leading batch axis on every field.
+    """
+    return jax.vmap(lambda im: _extract(im, cfg))(imgs)
+
+
+def split_batch(kp: Keypoints, i: int) -> Keypoints:
+    """Slice one image's keypoints out of an ``extract_batch`` result."""
+    return Keypoints(*[getattr(kp, f)[i] for f in Keypoints._fields])
 
 
 BASE_SIGMA = 1.0  # px at level 0 (reference mvLevelSigma2 convention)

@@ -56,30 +56,43 @@ def _has_run9(mask16: jnp.ndarray) -> jnp.ndarray:
 def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Dense FAST corner response.  (H,W) float image -> (H,W) float score,
     zero where the segment test fails.  Border of 3 px is always zero."""
+    return fast_score_maps(img, (threshold,))[0]
+
+
+def fast_score_maps(img: jnp.ndarray, thresholds: tuple) -> list[jnp.ndarray]:
+    """FAST responses at SEVERAL thresholds from ONE set of 16 shifted reads.
+
+    The reference runs cv::FAST twice per cell (iniThFAST then minThFAST,
+    ORBextractor.cc:810-825); sharing the shifted-diff pass between the two
+    thresholds halves the dominant VPU/HBM work of detection.
+    """
     h, w = img.shape
-    center = img
-    bright_mask = jnp.zeros((h, w), dtype=jnp.int32)
-    dark_mask = jnp.zeros((h, w), dtype=jnp.int32)
-    bright_sum = jnp.zeros((h, w), dtype=img.dtype)
-    dark_sum = jnp.zeros((h, w), dtype=img.dtype)
+    n_th = len(thresholds)
+    bright_mask = [jnp.zeros((h, w), dtype=jnp.int32) for _ in range(n_th)]
+    dark_mask = [jnp.zeros((h, w), dtype=jnp.int32) for _ in range(n_th)]
+    bright_sum = [jnp.zeros((h, w), dtype=img.dtype) for _ in range(n_th)]
+    dark_sum = [jnp.zeros((h, w), dtype=img.dtype) for _ in range(n_th)]
     for k in range(16):
         dy, dx = int(CIRCLE[k, 0]), int(CIRCLE[k, 1])
-        pix = _shift2d(img, dy, dx)
-        diff = pix - center
-        b = diff > threshold
-        d = diff < -threshold
-        bright_mask = bright_mask | (b.astype(jnp.int32) << k)
-        dark_mask = dark_mask | (d.astype(jnp.int32) << k)
-        bright_sum = bright_sum + jnp.where(b, diff - threshold, 0.0)
-        dark_sum = dark_sum + jnp.where(d, -diff - threshold, 0.0)
-    is_bright = _has_run9(bright_mask)
-    is_dark = _has_run9(dark_mask)
-    score = jnp.where(is_bright, bright_sum, 0.0) + jnp.where(is_dark, dark_sum, 0.0)
-    # kill the 3px border (circle reads wrap garbage there)
+        diff = _shift2d(img, dy, dx) - img
+        for i, t in enumerate(thresholds):
+            b = diff > t
+            d = diff < -t
+            bright_mask[i] = bright_mask[i] | (b.astype(jnp.int32) << k)
+            dark_mask[i] = dark_mask[i] | (d.astype(jnp.int32) << k)
+            bright_sum[i] = bright_sum[i] + jnp.where(b, diff - t, 0.0)
+            dark_sum[i] = dark_sum[i] + jnp.where(d, -diff - t, 0.0)
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inb = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(inb, score, 0.0)
+    out = []
+    for i in range(n_th):
+        score = jnp.where(_has_run9(bright_mask[i]), bright_sum[i], 0.0) + jnp.where(
+            _has_run9(dark_mask[i]), dark_sum[i], 0.0
+        )
+        # kill the 3px border (circle reads wrap garbage there)
+        out.append(jnp.where(inb, score, 0.0))
+    return out
 
 
 def nonmax_3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -102,8 +115,7 @@ def fast_with_fallback(img: jnp.ndarray, ini_th: float, min_th: float) -> jnp.nd
     with at least one ini_th corner keep only those; empty cells use the
     min_th response.  Fully vectorized via cell-max broadcasting.
     """
-    s_hi = fast_score_map(img, ini_th)
-    s_lo = fast_score_map(img, min_th)
+    s_hi, s_lo = fast_score_maps(img, (ini_th, min_th))
     h, w = img.shape
     c = 32
     ph, pw = (-h) % c, (-w) % c

@@ -138,7 +138,10 @@ def pose_inertial_optimization(
     (reference PoseInertialOptimizationLastKeyFrame/LastFrame,
     Optimizer.cc:4544-5357, incl. the 4-round chi2 reclassification).
 
-    Returns (state, visual_inlier_mask, n_inliers).
+    Returns (state, visual_inlier_mask, n_inliers, H) where H is the 15x15
+    information of the solved state (all edges at the solution) — the
+    marginalization prior carried to the next frame as ``ConstraintPoseImu``
+    (reference recovers it from the solved edges, Optimizer.cc:5296-5356).
     """
     info9 = inertial_information(preint)
     # bias walk info from the walk covariance accumulated over the window
@@ -208,4 +211,123 @@ def pose_inertial_optimization(
         chi2 = jnp.sum(rv * rv, axis=-1) * obs.inv_sigma2
         delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
         inlier_ref = obs.valid & (chi2 <= delta2) & posd
-    return s, inlier_ref, jnp.sum(inlier_ref.astype(jnp.int32))
+
+    # information of the solved state: Gauss-Newton Hessian of every edge at
+    # the solution (the next frame's EdgePriorPoseImu, G2oTypes.h:698-781)
+    # — the KF-anchored variant treats the keyframe as fixed, so the
+    # current-frame Hessian IS the marginal
+    zero = jnp.zeros(15)
+    _, w_f, _, _, _ = residual_stack(zero, s, inlier_ref)
+    Jv = jax.jacfwd(lambda d: residual_stack(d, s, inlier_ref)[0])(zero)
+    Ji = jax.jacfwd(lambda d: residual_stack(d, s, inlier_ref)[2])(zero)
+    Jb = jax.jacfwd(lambda d: residual_stack(d, s, inlier_ref)[3])(zero)
+    H = jnp.einsum("nij,n,nik->jk", Jv, w_f, Jv)
+    H = H + Ji.T @ info9 @ Ji + Jb.T @ walk_info @ Jb
+    if prior is not None:
+        Jp = jax.jacfwd(lambda d: prior_residual(retract(s, d), prior))(zero)
+        H = H + Jp.T @ prior.H @ Jp
+    H = 0.5 * (H + H.T)
+    return s, inlier_ref, jnp.sum(inlier_ref.astype(jnp.int32)), H
+
+
+@partial(jax.jit, static_argnames=("n_rounds", "iters"))
+def pose_inertial_optimization_last_frame(
+    cam: cam_models.Camera,
+    bf: jnp.ndarray,
+    T_cb: lie.SE3,
+    s_prev: BodyState,
+    prior_prev: PriorState,
+    preint: pre.Preintegrated,
+    s0: BodyState,
+    obs: VIObs,
+    n_rounds: int = 4,
+    iters: int = 10,
+):
+    """PoseInertialOptimizationLastFrame (Optimizer.cc:4933-5357): the
+    previous FRAME's 15-D state is free under its marginalization prior
+    (EdgePriorPoseImu / ConstraintPoseImu), the current frame carries the
+    visual edges, and the two are chained by the preintegrated inertial
+    factor — a sliding window of two.  After the solve the previous state is
+    Schur-marginalized out of the 30x30 Hessian; the 15x15 remainder is the
+    prior for the NEXT frame (reference Marginalize, Optimizer.cc:3026-3106).
+
+    Returns (state_cur, inlier_mask, n_inliers, H_marg).
+    """
+    info9 = inertial_information(preint)
+    walk_info = jnp.linalg.inv(preint.C[9:15, 9:15] + 1e-8 * jnp.eye(6))
+
+    def unpack(d, sp, sc):
+        return retract(sp, d[:15]), retract(sc, d[15:30])
+
+    def residual_stack(d, sp, sc, inlier):
+        spd, scd = unpack(d, sp, sc)
+        rv, posd = _visual_residuals(cam, bf, T_cb, scd, obs)
+        delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+        chi2 = jnp.sum(rv * rv, axis=-1) * obs.inv_sigma2
+        w_h = _huber_weight(chi2, delta2)
+        w = jnp.where(obs.valid & inlier & posd, w_h * obs.inv_sigma2, 0.0)
+        ri = inertial_residual(spd, scd, preint)
+        rb = bias_walk_residual(spd, scd)
+        rp = prior_residual(spd, prior_prev)
+        return rv, w, ri, rb, rp, spd, scd
+
+    def cost_of(rv, w, ri, rb, rp):
+        return (
+            jnp.sum(w * jnp.sum(rv * rv, axis=-1))
+            + ri @ info9 @ ri
+            + rb @ walk_info @ rb
+            + rp @ prior_prev.H @ rp
+        )
+
+    def build_H_g(sp, sc, inlier):
+        zero = jnp.zeros(30)
+        rv, w, ri, rb, rp, _, _ = residual_stack(zero, sp, sc, inlier)
+        Jv = jax.jacfwd(lambda d: residual_stack(d, sp, sc, inlier)[0])(zero)
+        Ji = jax.jacfwd(lambda d: residual_stack(d, sp, sc, inlier)[2])(zero)
+        Jb = jax.jacfwd(lambda d: residual_stack(d, sp, sc, inlier)[3])(zero)
+        Jp = jax.jacfwd(lambda d: residual_stack(d, sp, sc, inlier)[4])(zero)
+        H = jnp.einsum("nij,n,nik->jk", Jv, w, Jv)
+        g = -jnp.einsum("nij,n,ni->j", Jv, w, rv)
+        H = H + Ji.T @ info9 @ Ji
+        g = g - Ji.T @ info9 @ ri
+        H = H + Jb.T @ walk_info @ Jb
+        g = g - Jb.T @ walk_info @ rb
+        H = H + Jp.T @ prior_prev.H @ Jp
+        g = g - Jp.T @ prior_prev.H @ rp
+        return H, g
+
+    def lm_iter(carry, _):
+        sp, sc, lam, inlier = carry
+        H, g = build_H_g(sp, sc, inlier)
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-6)) + 1e-8 * jnp.eye(30)
+        d = jnp.linalg.solve(Hd, g)
+        rv0, w0, ri0, rb0, rp0, _, _ = residual_stack(jnp.zeros(30), sp, sc, inlier)
+        c0 = cost_of(rv0, w0, ri0, rb0, rp0)
+        rv1, w1, ri1, rb1, rp1, sp1, sc1 = residual_stack(d, sp, sc, inlier)
+        c1 = cost_of(rv1, w1, ri1, rb1, rp1)
+        accept = c1 < c0
+        sp = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sp1, sp)
+        sc = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sc1, sc)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 5.0, 1e5))
+        return (sp, sc, lam, inlier), None
+
+    inlier_ref = jnp.ones(obs.uv.shape[0], dtype=bool)
+    sp, sc = s_prev, s0
+    for _ in range(n_rounds):
+        (sp, sc, _, _), _ = jax.lax.scan(
+            lm_iter, (sp, sc, jnp.float32(1e-2), inlier_ref), None, length=iters
+        )
+        rv, posd = _visual_residuals(cam, bf, T_cb, sc, obs)
+        chi2 = jnp.sum(rv * rv, axis=-1) * obs.inv_sigma2
+        delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+        inlier_ref = obs.valid & (chi2 <= delta2) & posd
+
+    # marginalize the previous state out of the solved 30x30 Hessian
+    H, _ = build_H_g(sp, sc, inlier_ref)
+    H = 0.5 * (H + H.T)
+    H11 = H[:15, :15] + 1e-6 * jnp.eye(15)
+    H12 = H[:15, 15:]
+    H22 = H[15:, 15:]
+    H_marg = H22 - H12.T @ jnp.linalg.solve(H11, H12)
+    H_marg = 0.5 * (H_marg + H_marg.T)
+    return sc, inlier_ref, jnp.sum(inlier_ref.astype(jnp.int32)), H_marg

@@ -156,6 +156,81 @@ def make_distributed_ba(mesh: Mesh, cam, bf, n_iters: int = 10, iters1: int | No
     return run
 
 
+def make_distributed_ba_cg(mesh: Mesh, cam, bf, iters1: int = 5, iters2: int = 10,
+                           cg_iters: int = 24):
+    """Distributed implicit-Schur CG bundle adjustment (optim/ba_cg.py) —
+    the GLOBAL-BA path at reference scale.  The dense-Z psum of
+    ``make_distributed_ba`` moves O(M*K*18) floats per iteration; here the
+    coupling blocks ``Wob`` STAY sharded with their observations and each CG
+    matvec reduces only an (M,3) and a (K,6) psum — the collective volume
+    drops from the coupling tensor to the state itself.
+    """
+    from orb_slam3_fast_tpu.optim import ba_cg
+
+    def psum(x):
+        return jax.lax.psum(x, "obs")
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(),
+            P("obs"), P("obs"), P("obs"), P("obs"), P("obs"), P("obs"),
+        ),
+        out_specs=(P(), P(), P(), P("obs"), P()),
+    )
+    def dist(R, t, pose_fixed, xw, lm_valid, o_kf, o_lm, o_uv, o_is2, o_st, o_va):
+        local = BAProblem(R, t, pose_fixed, xw, lm_valid, o_kf, o_lm, o_uv, o_is2, o_st, o_va)
+
+        def phase(R, t, xw, inlier, lam, n):
+            def body(carry, _):
+                R, t, xw, lam = carry
+                R, t, xw, lam, cost = ba_cg._lm_step(
+                    cam, bf, local, R, t, xw, inlier, lam, cg_iters,
+                    reduce_k=psum, reduce_m=psum, reduce_s=psum,
+                )
+                return (R, t, xw, lam), cost
+
+            (R, t, xw, lam), costs = jax.lax.scan(body, (R, t, xw, lam), None, length=n)
+            return R, t, xw, lam, costs[-1]
+
+        def classify(R, t, xw):
+            r, _, posd = ba_mod._obs_residuals(cam, bf, R, t, xw, local)
+            chi2 = jnp.sum(r * r, axis=-1) * o_is2
+            delta2 = jnp.where(o_st, 7.815, 5.991)
+            return o_va & posd & (chi2 <= delta2) & lm_valid[o_lm]
+
+        inlier = jnp.ones_like(o_va)
+        R, t, xw, lam, cost = phase(R, t, xw, inlier, jnp.float32(1e-4), iters1)
+        inlier = classify(R, t, xw)
+        R, t, xw, lam, cost = phase(R, t, xw, inlier, jnp.float32(1e-4), iters2)
+        inlier = classify(R, t, xw)
+        return R, t, xw, inlier, cost
+
+    @jax.jit
+    def run(prob: BAProblem):
+        return dist(
+            prob.R, prob.t, prob.pose_fixed, prob.xw, prob.lm_valid,
+            prob.obs_kf, prob.obs_lm, prob.obs_uv,
+            prob.obs_inv_sigma2, prob.obs_is_stereo, prob.obs_valid,
+        )
+
+    return run
+
+
+_DIST_BA_CG_CACHE: dict = {}
+
+
+def get_distributed_ba_cg(mesh: Mesh, cam, bf, iters1: int, iters2: int, cg_iters: int = 24):
+    key = (len(mesh.devices.flat), cam.kind, iters1, iters2, cg_iters)
+    fn = _DIST_BA_CG_CACHE.get(key)
+    if fn is None:
+        fn = make_distributed_ba_cg(mesh, cam, bf, iters1=iters1, iters2=iters2,
+                                    cg_iters=cg_iters)
+        _DIST_BA_CG_CACHE[key] = fn
+    return fn
+
+
 _DIST_BA_CACHE: dict = {}
 
 

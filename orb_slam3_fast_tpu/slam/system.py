@@ -61,6 +61,16 @@ class System:
         # vocabulary load (System.cc:130-137; ours is trained, not parsed)
         self.voc = vocabulary or voc_mod.default_vocabulary()
         self.kfdb = db_mod.KeyFrameDatabase(self.voc.n_words, max_kf=max_keyframes)
+        # multi-chip: bring up the process group (no-op single-host) and
+        # shard place-recognition scoring over the global mesh (SURVEY §2.3
+        # north star; the reference walks its inverted file on one thread)
+        import jax as _jax
+
+        if len(_jax.devices()) > 1 and max_keyframes % len(_jax.devices()) == 0:
+            from orb_slam3_fast_tpu.parallel import multihost
+
+            multihost.initialize()
+            self.kfdb.attach_mesh(multihost.global_mesh())
 
         ecfg = ext.ExtractorConfig(
             n_features=settings.n_features,
@@ -196,6 +206,10 @@ class System:
         depth = np.asarray(depth, dtype=np.float32)
         if self.settings.depth_map_factor != 1.0:
             depth = depth / self.settings.depth_map_factor
+        if self.inertial and len(imu):
+            # the reference feeds the IMU queue for every "-inertial" sensor
+            # including IMU_RGBD (System.cc:338-340 / :430-432)
+            self.tracker.grab_imu(imu)
         with self.timers.span("track_total"):
             state, pose = self.tracker.process_rgbd(img, depth, ts)
         return state, pose
@@ -214,8 +228,23 @@ class System:
     def get_tracking_state(self):
         return self.tracker.state
 
+    def _map_change_index(self) -> int:
+        cur = getattr(self.world, "change_index", 0)
+        if self.backend is not None:
+            cur += self.backend.map_version
+        if self.loopcloser is not None:
+            cur += self.loopcloser.n_loops_closed + self.loopcloser.n_maps_merged
+        return cur
+
     def map_changed(self) -> bool:
-        return self.loopcloser is not None and self.loopcloser.n_loops_closed > 0
+        """Change-index handshake (System::MapChanged, System.cc:508 /
+        Map::GetMapChangeIndex, Map.cc:306-324): True exactly once per map
+        update (BA write-back, gauge transform, loop, merge) since the
+        previous query."""
+        cur = self._map_change_index()
+        changed = cur != getattr(self, "_last_map_change", 0)
+        self._last_map_change = cur
+        return changed
 
     # ------------------------------------------------------------------
     # trajectory savers (exact reference formats)
@@ -287,15 +316,32 @@ class System:
     # ------------------------------------------------------------------
     def save_atlas(self, path: str):
         """System::SaveAtlas (System.cc:1430): the WHOLE multi-map atlas when
-        one exists, else the single map."""
+        one exists, else the single map — plus the vocabulary MD5 so a reload
+        against a different vocabulary is rejected (CalculateCheckSum,
+        System.cc:1531)."""
         if self.atlas is not None:
             self.atlas.save(path)
         else:
             self.tracker.world.save(path)
+        try:
+            with open(path + ".md5", "w") as f:
+                f.write(self.voc.checksum())
+        except OSError:
+            pass
 
     def load_atlas(self, path: str):
         import os
 
+        md5_path = path + ".md5"
+        if os.path.exists(md5_path):
+            with open(md5_path) as f:
+                saved = f.read().strip()
+            if saved != self.voc.checksum():
+                raise ValueError(
+                    "vocabulary checksum mismatch: the atlas was built with a "
+                    "different vocabulary (System::LoadAtlas guard, "
+                    "System.cc:1505-1529)"
+                )
         if self.atlas is not None and os.path.exists(f"{path}.atlas.npz"):
             from orb_slam3_fast_tpu.map.atlas import Atlas
 

@@ -2,17 +2,16 @@
 
 TPU-native replacement for the reference ``KeyFrameDatabase``
 (``/root/reference/src/KeyFrameDatabase.cc``): the word->list<KeyFrame*>
-inverted file (``mvInvertedFile``, add/erase at :37/:47) becomes two dense
-host arrays — a (K_cap, W) float32 tf-idf matrix and its boolean incidence —
-so candidate scoring is plain matrix algebra instead of list walks:
+inverted file (``mvInvertedFile``, add/erase at :37/:47) becomes a SPARSE
+row store — per keyframe the word ids + tf-idf weights of its (<= n_features)
+distinct words — so memory is O(K * features), independent of vocabulary
+size: a reference-scale 10^5-10^6-word vocabulary (ORBvoc is ~1M words,
+System.cc:131) costs the same as a 10^4-word one.  Scoring stays batched:
+one dense query lookup table (n_words floats, built per query) + one (K,T)
+gather; the DBoW2 L1 similarity of L1-normalized vectors reduces exactly to
+``sum over shared words of min(v_i, w_i)``:
 
-  * shared-word counts (``DetectNBestCandidates`` word accumulation,
-    KeyFrameDatabase.cc:628-657)  ->  incidence @ query_incidence
-  * L1 similarity (vocabulary ``score``, :684)  ->  row-wise |A - q|_1
-
-With K_cap ~ hundreds of keyframes and W ~ 1k-10k words this is a few MB and
-microseconds on host numpy; the design scales to sharded device matmuls when
-the map grows (SURVEY.md §5 distributed plan).
+  |v - w|_1 = 2 - 2 * sum_shared min  =>  1 - 0.5|v - w|_1 = sum_shared min.
 """
 from __future__ import annotations
 
@@ -20,23 +19,54 @@ import numpy as np
 
 
 class KeyFrameDatabase:
-    def __init__(self, n_words: int, max_kf: int = 512):
+    def __init__(self, n_words: int, max_kf: int = 512, row_words: int = 1024):
+        """``row_words``: sparse row capacity — the number of distinct words
+        a keyframe can hold is bounded by its keypoint count, so the default
+        matches the extractor budget regardless of vocabulary size."""
         self.n_words = n_words
         self.max_kf = max_kf
-        self.bow = np.zeros((max_kf, n_words), dtype=np.float32)
-        self.has_word = np.zeros((max_kf, n_words), dtype=bool)
+        self.row_words = row_words
+        self.ids = np.full((max_kf, row_words), -1, dtype=np.int32)
+        self.w = np.zeros((max_kf, row_words), dtype=np.float32)
         self.valid = np.zeros(max_kf, dtype=bool)
         self.map_id = np.full(max_kf, -1, dtype=np.int32)
         self.sharded = None  # optional device-resident mirror (attach_mesh)
 
     # ------------------------------------------------------------------
+    @property
+    def bow(self) -> np.ndarray:
+        """Dense (K, n_words) view for tests / the sharded mirror — built on
+        demand (do NOT use in the hot path at large n_words)."""
+        out = np.zeros((self.max_kf, self.n_words), dtype=np.float32)
+        rows, cols = np.nonzero(self.ids >= 0)
+        out[rows, self.ids[rows, cols]] = self.w[rows, cols]
+        return out
+
+    def dense_row(self, kf: int) -> np.ndarray:
+        """One keyframe's dense (n_words,) BoW vector (query construction)."""
+        out = np.zeros(self.n_words, dtype=np.float32)
+        sel = self.ids[kf] >= 0
+        out[self.ids[kf, sel]] = self.w[kf, sel]
+        return out
+
+    def _sparsify(self, bow: np.ndarray):
+        nz = np.nonzero(bow)[0]
+        if len(nz) > self.row_words:  # keep the heaviest words
+            nz = nz[np.argsort(-bow[nz])[: self.row_words]]
+        ids = np.full(self.row_words, -1, np.int32)
+        w = np.zeros(self.row_words, np.float32)
+        ids[: len(nz)] = nz
+        w[: len(nz)] = bow[nz]
+        return ids, w
+
+    # ------------------------------------------------------------------
     def attach_mesh(self, mesh):
-        """Shard the BoW matrix over a device mesh: scoring runs on-device,
+        """Shard the sparse rows over a device mesh: scoring runs on-device,
         row-parallel across chips (parallel/dist_kfdb.py); keyframe adds
         ship one row.  Detach by setting ``self.sharded = None``."""
         from orb_slam3_fast_tpu.parallel.dist_kfdb import ShardedKFDB
 
-        self.sharded = ShardedKFDB.from_host(mesh, self.bow)
+        self.sharded = ShardedKFDB.from_host(mesh, self.ids, self.w, self.n_words)
 
     # ------------------------------------------------------------------
     def add(self, kf: int, bow: np.ndarray, map_id: int = 0):
@@ -44,21 +74,22 @@ class KeyFrameDatabase:
         grew = False
         while kf >= self.max_kf:  # grow with the (multi-map) keyframe count
             pad = self.max_kf
-            self.bow = np.concatenate([self.bow, np.zeros((pad, self.n_words), np.float32)])
-            self.has_word = np.concatenate([self.has_word, np.zeros((pad, self.n_words), bool)])
+            self.ids = np.concatenate([self.ids, np.full((pad, self.row_words), -1, np.int32)])
+            self.w = np.concatenate([self.w, np.zeros((pad, self.row_words), np.float32)])
             self.valid = np.concatenate([self.valid, np.zeros(pad, bool)])
             self.map_id = np.concatenate([self.map_id, np.full(pad, -1, np.int32)])
             self.max_kf *= 2
             grew = True
-        self.bow[kf] = np.asarray(bow)
-        self.has_word[kf] = self.bow[kf] > 0
+        ids, w = self._sparsify(np.asarray(bow))
+        self.ids[kf] = ids
+        self.w[kf] = w
         self.valid[kf] = True
         self.map_id[kf] = map_id
         if self.sharded is not None:
             if grew:
                 self.attach_mesh(self.sharded.mesh)  # re-shard at the new size
             else:
-                self.sharded.set_row(kf, self.bow[kf])
+                self.sharded.set_row(kf, ids, w)
 
     def erase(self, kf: int):
         """KeyFrameDatabase::erase (:47)."""
@@ -75,11 +106,15 @@ class KeyFrameDatabase:
         elig[exclude] = False
         if self.sharded is not None:  # row-parallel on the mesh
             common, score = self.sharded.scores(query_bow)
-            return common, score, elig
-        q_has = query_bow > 0
-        common = (self.has_word & q_has[None, :]).sum(1)
-        # DBoW2 L1 score: 1 - 0.5 |v - w|_1 (both L1-normalized)
-        score = 1.0 - 0.5 * np.abs(self.bow - query_bow[None, :]).sum(1)
+            return np.asarray(common), np.asarray(score), elig
+        # dense query LUT + one (K,T) gather — O(K * row_words), independent
+        # of vocabulary size
+        lut = np.zeros(self.n_words + 1, dtype=np.float32)
+        lut[: self.n_words] = np.asarray(query_bow, dtype=np.float32)
+        qw = lut[np.where(self.ids >= 0, self.ids, self.n_words)]  # (K,T)
+        shared = (qw > 0) & (self.w > 0)
+        common = shared.sum(1).astype(np.int64)
+        score = np.where(shared, np.minimum(self.w, qw), 0.0).sum(1)
         return common, score, elig
 
     def detect_n_best_candidates(

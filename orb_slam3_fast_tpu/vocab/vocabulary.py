@@ -56,6 +56,20 @@ class Vocabulary(NamedTuple):
     def n_words(self) -> int:
         return self.branching**self.depth
 
+    def checksum(self) -> str:
+        """MD5 over the tree content — the reference guards atlas
+        save/load with a vocabulary checksum so a map is never re-opened
+        against a different vocabulary (System::CalculateCheckSum,
+        System.cc:1531; checked at :1430-1529)."""
+        import hashlib
+
+        h = hashlib.md5()
+        h.update(str((self.branching, self.depth)).encode())
+        for c in self.centroids:
+            h.update(np.asarray(c).tobytes())
+        h.update(np.asarray(self.weights).tobytes())
+        return h.hexdigest()
+
     # ------------------------------------------------------------------
     def save(self, path: str):
         np.savez_compressed(
@@ -241,6 +255,33 @@ def score_l1(bow_a: jnp.ndarray, bow_b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 _DEFAULT_PATH = os.path.join(os.path.dirname(__file__), "_default_voc.npz")
+
+
+_LARGE_PATH = os.path.join(os.path.dirname(__file__), "_large_voc.npz")
+
+
+def large_vocabulary(branching: int = 10, depth: int = 5,
+                     n_images: int = 128) -> Vocabulary:
+    """Reference-scale vocabulary: 10^5 words at the default (branching 10,
+    depth 5), trained on a large diverse procedural corpus and cached on
+    disk — the ORBvoc.txt class of tree (~1M words, System.cc:131; the
+    sparse KeyFrameDatabase rows make word count memory-free, so the only
+    cost is this one-time training).  Pass
+    ``System(..., vocabulary=vocab_mod.large_vocabulary())`` to use it."""
+    if os.path.exists(_LARGE_PATH):
+        try:
+            v = Vocabulary.load(_LARGE_PATH)
+            if v.branching == branching and v.depth == depth:
+                return v
+        except Exception:
+            pass
+    desc = _procedural_descriptors(n_images=n_images)
+    voc = train(desc, branching=branching, depth=depth)
+    try:
+        voc.save(_LARGE_PATH)
+    except OSError:
+        pass
+    return voc
 
 
 def _procedural_descriptors(n_images: int = 32, seed: int = 7) -> np.ndarray:

@@ -46,7 +46,7 @@ def make_world(rng, n=500, x=(-12, 12), y=(-6, 6), z=(4, 30), tile=6):
     }
 
 
-def render(world, cam, T_cw, wh=(640, 480), bg=30.0):
+def render(world, cam, T_cw, wh=(640, 480), bg=30.0, return_depth=False):
     """Perspective render of WORLD-ANCHORED textured quads.
 
     Each splat is a planar square fixed in world space (center + size * span
@@ -138,6 +138,9 @@ def render(world, cam, T_cw, wh=(640, 480), bg=30.0):
         patch = img[v0:v1, u0:u1]
         patch[vis] = val[vis]
         zb[vis] = depth[vis]
+    if return_depth:
+        depth_img = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+        return img, depth_img
     return img
 
 

@@ -57,5 +57,6 @@ def test_growth_reshards():
         db.add(k, bow)
     assert db.max_kf == 32 and db.sharded.max_kf == 32
     c, s = db.sharded.scores(db.bow[19])
-    q_has = db.bow[19] > 0
-    np.testing.assert_array_equal(c, (db.has_word & q_has[None]).sum(1))
+    dense = db.bow
+    q_has = dense[19] > 0
+    np.testing.assert_array_equal(c, ((dense > 0) & q_has[None]).sum(1))

@@ -101,13 +101,31 @@ def test_pose_inertial_optimization_recovers_state(rng):
         s_true.v + jnp.asarray([0.1, 0.05, -0.05]),
         jnp.zeros(6),
     )
-    s, inl, n_inl = inertial.pose_inertial_optimization(
+    s, inl, n_inl, H = inertial.pose_inertial_optimization(
         CAM, jnp.float32(0.0), T_cb, s_prev, preint, s0, obs
     )
     assert int(n_inl) > 140
     assert np.abs(np.asarray(s.p) - np.asarray(s_true.p)).max() < 0.01
     assert np.abs(np.asarray(s.R) - np.asarray(s_true.R)).max() < 2e-3
     assert np.abs(np.asarray(s.v) - np.asarray(s_true.v)).max() < 0.05
+    # the returned marginal must be a usable prior: finite, symmetric, PSD-ish
+    H = np.asarray(H)
+    assert np.isfinite(H).all() and H.shape == (15, 15)
+    assert np.abs(H - H.T).max() < 1e-3
+    assert np.linalg.eigvalsh(H).min() > -1e-2
+
+    # the LastFrame variant (previous state FREE under a prior,
+    # PoseInertialOptimizationLastFrame Optimizer.cc:4933) must solve the
+    # same problem to the same answer when the prior pins the previous state
+    prior = inertial.PriorState(state=s_prev, H=jnp.asarray(1e4 * np.eye(15, dtype=np.float32)))
+    s2, inl2, n2, H2 = inertial.pose_inertial_optimization_last_frame(
+        CAM, jnp.float32(0.0), T_cb, s_prev, prior, preint, s0, obs
+    )
+    assert int(n2) > 140
+    assert np.abs(np.asarray(s2.p) - np.asarray(s_true.p)).max() < 0.02
+    H2 = np.asarray(H2)
+    assert np.isfinite(H2).all() and H2.shape == (15, 15)
+    assert np.linalg.eigvalsh(0.5 * (H2 + H2.T)).min() > -1e-2
 
 
 def test_imu_init_recovers_gravity_scale_bias(rng):

@@ -1,0 +1,97 @@
+"""Reference-scale place recognition: a 10^5-word vocabulary (branching 10,
+depth 5 — the ORBvoc class of tree, System.cc:131) over 500+ keyframes
+spread across 3 maps, with measured candidate recall (round-3 verdict
+missing #7 / next-round task 5).
+
+The sparse KeyFrameDatabase rows make the word count a non-factor in memory:
+each row stores at most ``row_words`` (feature-budget) entries regardless of
+vocabulary size.
+"""
+import numpy as np
+import pytest
+
+from orb_slam3_fast_tpu.cameras import models as cam_models
+from orb_slam3_fast_tpu.ops import extractor as ext
+from orb_slam3_fast_tpu.vocab import database as db_mod
+from orb_slam3_fast_tpu.vocab import vocabulary as voc_mod
+
+from tests import synthetic as syn
+
+CAM = cam_models.Camera.pinhole(200.0, 200.0, 160.0, 120.0)
+WH = (320, 240)
+CFG = ext.ExtractorConfig(n_features=400)
+
+
+def test_sparse_rows_bound_memory_at_1m_words():
+    """A million-word database footprint must scale with features, not words."""
+    db = db_mod.KeyFrameDatabase(n_words=1_000_000, max_kf=256, row_words=512)
+    bow = np.zeros(1_000_000, np.float32)
+    words = np.random.default_rng(0).choice(1_000_000, 400, replace=False)
+    bow[words] = 1.0 / 400
+    db.add(0, bow, map_id=0)
+    assert db.ids.nbytes + db.w.nbytes < 2 * 256 * 512 * 8  # ~1 MB, not GBs
+    # round-trips exactly through the sparse row
+    np.testing.assert_allclose(db.dense_row(0), bow)
+    common, score, _ = db._scores(bow, np.zeros(0, np.int64))
+    assert common[0] == 400
+    np.testing.assert_allclose(score[0], 1.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_large_vocab_recall_500kf_3maps():
+    import jax.numpy as jnp
+
+    voc = voc_mod.large_vocabulary()
+    assert voc.n_words >= 100_000
+    db = db_mod.KeyFrameDatabase(voc.n_words, max_kf=1024, row_words=512)
+
+    rng = np.random.default_rng(0)
+    worlds = [
+        syn.make_corridor_world(np.random.default_rng(s), n=700) for s in (1, 2, 3)
+    ]
+    n_per = 170
+    frames = []  # (map_id, idx_in_map, global_row)
+    row = 0
+    descs = {}
+    for mid, world in enumerate(worlds):
+        poses = syn.arc_trajectory(n_per, step=0.05, lateral=0.04)
+        for i, T in enumerate(poses):
+            img = syn.render(world, CAM, T, wh=WH)
+            kp = ext.extract(jnp.asarray(img), CFG)
+            _, _, bow = voc_mod.transform(voc, kp.desc, kp.valid)
+            db.add(row, np.asarray(bow), map_id=mid)
+            frames.append((mid, i, T))
+            descs[row] = None
+            row += 1
+    assert row >= 500
+
+    # queries: perturbed re-renders of every 10th keyframe; recall@3 = the
+    # true neighborhood (same map, |i - i_q| <= 3) appears in the top 3
+    hits = total = 0
+    for q in range(0, row, 10):
+        mid, i, T = frames[q]
+        # small pose perturbation: a revisit, not the identical image
+        import jax.numpy as jnp2
+
+        from orb_slam3_fast_tpu.utils import lie
+
+        dT = lie.se3_exp(jnp2.asarray(
+            np.array([0.01, -0.01, 0.015, 0.004, -0.003, 0.002], np.float32)
+        ))
+        Tq = lie.SE3(jnp2.asarray(np.asarray(dT.R) @ np.asarray(T.R)),
+                     jnp2.asarray(np.asarray(dT.R) @ np.asarray(T.t) + np.asarray(dT.t)))
+        img = syn.render(worlds[mid], CAM, Tq, wh=WH)
+        kp = ext.extract(jnp.asarray(img), CFG)
+        _, _, bow = voc_mod.transform(voc, kp.desc, kp.valid)
+        loop_c, merge_c = db.detect_n_best_candidates(
+            np.asarray(bow), np.zeros(0, np.int64), 3, query_map=mid
+        )
+        total += 1
+        base = q - i  # first row of this map
+        good = {base + j for j in range(max(0, i - 3), min(n_per, i + 4))}
+        if any(int(c) in good for c in loop_c):
+            hits += 1
+        # cross-map candidates must NOT dominate: distinct worlds
+        assert len(merge_c) <= 3
+    recall = hits / total
+    assert recall >= 0.7, f"recall@3 = {recall:.2f} over {total} queries"
