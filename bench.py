@@ -63,10 +63,13 @@ def main():
     lm_desc = rng.integers(0, 2, (n_lm, 256)).astype(np.int8)
     lm_level = rng.integers(0, 8, n_lm).astype(np.int32)
 
-    def tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level):
+    slot_sc = jnp.asarray(ext.slot_scales(cfg))
+
+    def tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc):
         kp_l = ext.extract(img_l, cfg)
         kp_r = ext.extract(img_r, cfg)
-        sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0)
+        sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0,
+                              slot_scale_r=slot_sc)
         T = lie.SE3(T_R, T_t)
         proj = cam_models.project(cam, T.apply(lm_pos))
         in_img = (
@@ -97,24 +100,24 @@ def main():
     R = jnp.eye(3)
     t = jnp.zeros(3)
     # warmup / compile
-    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl)
+    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl, slot_sc)
     jax.block_until_ready((R, t))
 
     # per-frame blocking latency (includes tunnel RTT; stderr diagnostics)
     t0 = time.perf_counter()
     for i in range(10):
-        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl)
+        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl, slot_sc)
         jax.block_until_ready((R, t))
     lat_ms = (time.perf_counter() - t0) / 10 * 1e3
     print(f"blocking per-frame latency: {lat_ms:.2f} ms", file=sys.stderr)
 
     # pipelined throughput: pose chains step->step (true data dependency)
     n = 60
-    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl)
+    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl, slot_sc)
     jax.block_until_ready((R, t))
     t0 = time.perf_counter()
     for i in range(n):
-        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl)
+        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl, slot_sc)
     jax.block_until_ready((R, t))
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
@@ -129,10 +132,11 @@ def main():
     jl7 = [jax.device_put(jnp.asarray(im)) for im in imgs_l7]
     jr7 = [jax.device_put(jnp.asarray(im)) for im in imgs_r7]
 
-    def tracking_step_720(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level):
+    def tracking_step_720(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc):
         kp_l = ext.extract(img_l, cfg)
         kp_r = ext.extract(img_r, cfg)
-        sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0)
+        sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0,
+                              slot_scale_r=slot_sc)
         T = lie.SE3(T_R, T_t)
         proj = cam_models.project(cam, T.apply(lm_pos))
         in_img = (
@@ -156,11 +160,11 @@ def main():
 
     step7 = jax.jit(tracking_step_720)
     R7, t7 = jnp.eye(3), jnp.zeros(3)
-    R7, t7, _, _ = step7(jl7[0], jr7[0], R7, t7, jpos, jdesc, jlvl)
+    R7, t7, _, _ = step7(jl7[0], jr7[0], R7, t7, jpos, jdesc, jlvl, slot_sc)
     jax.block_until_ready((R7, t7))
     t0 = time.perf_counter()
     for i in range(n):
-        R7, t7, _, _ = step7(jl7[i % n_imgs], jr7[i % n_imgs], R7, t7, jpos, jdesc, jlvl)
+        R7, t7, _, _ = step7(jl7[i % n_imgs], jr7[i % n_imgs], R7, t7, jpos, jdesc, jlvl, slot_sc)
     jax.block_until_ready((R7, t7))
     dt7 = (time.perf_counter() - t0) / n
     fps7 = 1.0 / dt7
@@ -170,7 +174,7 @@ def main():
         # each variant CONSUMES every intermediate it computed (eps-weighted
         # sums) — otherwise XLA dead-code-eliminates earlier stages and the
         # differential attribution is garbage
-        def f(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level):
+        def f(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc):
             kp_l = ext.extract(img_l, cfg)
             kp_r = ext.extract(img_r, cfg)
             acc = (
@@ -179,7 +183,8 @@ def main():
             )
             if stage == "extract":
                 return T_R + 1e-20 * acc, T_t, 0, 0
-            sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0)
+            sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0,
+                                  slot_scale_r=slot_sc)
             acc = acc + sm.depth.sum() + sm.right_u.sum()
             if stage == "stereo":
                 return T_R + 1e-20 * acc, T_t, 0, 0
@@ -194,17 +199,17 @@ def main():
             acc = acc + idx.sum() + accept.sum()
             if stage == "match":
                 return T_R + 1e-20 * acc, T_t, 0, 0
-            return tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level)
+            return tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc)
 
         return jax.jit(f)
 
     def variant_time(fn, n_rep=40):
         Rv, tv = jnp.eye(3), jnp.zeros(3)
-        out = jax.block_until_ready(fn(jl[0], jr[0], Rv, tv, jpos, jdesc, jlvl))
+        out = jax.block_until_ready(fn(jl[0], jr[0], Rv, tv, jpos, jdesc, jlvl, slot_sc))
         Rv = out[0]
         t0 = time.perf_counter()
         for i in range(n_rep):
-            out = fn(jl[i % n_imgs], jr[i % n_imgs], Rv, tv, jpos, jdesc, jlvl)
+            out = fn(jl[i % n_imgs], jr[i % n_imgs], Rv, tv, jpos, jdesc, jlvl, slot_sc)
             Rv = out[0]
         jax.block_until_ready(Rv)
         return (time.perf_counter() - t0) / n_rep * 1e3

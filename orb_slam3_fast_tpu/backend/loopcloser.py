@@ -49,6 +49,8 @@ class LoopCloserConfig:
     # covisibility-consistency machinery, LoopClosing.cc:345-578)
     consecutive_required: int = 3
     fix_scale: bool = False  # stereo/RGBD/inertial: 6-DoF instead of 7
+    # DetectAndReffineSim3FromLastKF fast path (LoopClosing.cc:580-641)
+    use_refine_from_last: bool = False  # BISECT-TEMP
     run_gba: bool = True
     gba_iters: tuple = (8, 12)
     pose_graph_iters: int = 12
@@ -68,6 +70,10 @@ class LoopCloser:
         self.consec_count = 0
         self.last_candidate = -1
         self.last_group: set = set()
+        # last verified Sim3 + the keyframe it anchored, for the
+        # DetectAndReffineSim3FromLastKF fast path (LoopClosing.cc:580-641)
+        self.last_S = None
+        self.last_verified_kf = -1
         self.n_loops_closed = 0
         self.n_maps_merged = 0
         # MergeInertialBA hook (Optimizer.cc:3996): System wires this to the
@@ -114,16 +120,38 @@ class LoopCloser:
                 return np.asarray([atlas.register_kf(mid, int(c)) for c in g])
             return g
 
-        loop_c, merge_c = self.kfdb.detect_n_best_candidates(
-            bow, exclude, self.cfg.n_candidates, covis_groups=groups_fn, query_map=map_id
-        )
+        # DetectAndReffineSim3FromLastKF fast path (LoopClosing.cc:580-641):
+        # when the previous keyframe verified a candidate, first try to
+        # cheaply re-confirm it by PROJECTION through the motion-propagated
+        # Sim3 — skipping the KFDB query + Sim3 RANSAC entirely
+        refined = None
+        if (
+            self.cfg.use_refine_from_last
+            and self.consec_count > 0
+            and self.last_candidate >= 0
+            and world.kf_valid[self.last_candidate]
+        ):
+            refined = self._refine_from_last(world, k, world, self.last_candidate)
+        if refined is not None:
+            loop_c = np.asarray([self.last_candidate], np.int64)
+            merge_c = np.zeros(0, np.int64)
+            refine_atlas_resolve = False
+        else:
+            loop_c, merge_c = self.kfdb.detect_n_best_candidates(
+                bow, exclude, self.cfg.n_candidates, covis_groups=groups_fn,
+                query_map=map_id,
+            )
+            refine_atlas_resolve = True
         for c in loop_c:
             c = int(c)
-            if atlas is not None:
+            if refine_atlas_resolve and atlas is not None:
                 _, c = atlas.resolve_row(c)
             if not world.kf_valid[c]:
                 continue
-            out = self._verify(world, k, world, c)
+            if refined is not None and c == self.last_candidate:
+                out = refined
+            else:
+                out = self._verify(world, k, world, c)
             if out is None:
                 continue
             S_kc, n_inl = out
@@ -141,11 +169,15 @@ class LoopCloser:
                 self.consec_count = 1
             self.last_group = group
             self.last_candidate = c
+            self.last_S = S_kc
+            self.last_verified_kf = k
             if self.consec_count >= self.cfg.consecutive_required:
                 self._correct(world, k, c, S_kc)
                 self.consec_count = 0
                 self.last_group = set()
                 self.last_candidate = -1
+                self.last_S = None
+                self.last_verified_kf = -1
                 self.n_loops_closed += 1
                 verbose.print_mess(
                     f"Loop detected and closed: KF {k} <-> KF {c}",
@@ -302,6 +334,45 @@ class LoopCloser:
         sk = np.asarray(pairs_k, np.int64)
         sc = np.asarray(pairs_c, np.int64)
         return sk, sc, world.kf_obs[k, sk], world_c.kf_obs[c, sc]
+
+    def _refine_from_last(self, world: WorldMap, k: int, world_c: WorldMap, c: int):
+        """DetectAndReffineSim3FromLastKF (LoopClosing.cc:580-641): propagate
+        the previously verified Sim3 through the relative motion since the
+        last keyframe, re-match by PROJECTION (>= 30, :598), OptimizeSim3,
+        and re-confirm with a stricter projection gate (>= 100, :640) — the
+        cheap path that skips KFDB query + BoW matching + Sim3 RANSAC.
+        Returns (S, n_inliers) or None (caller falls back to the full path).
+        """
+        if self.last_S is None or self.last_verified_kf < 0:
+            return None
+        lk = self.last_verified_kf
+        if not world.kf_valid[lk]:
+            return None
+        # T_k_lastk composed with the stored S_lastk_c
+        R_rel = world.kf_R[k] @ world.kf_R[lk].T
+        t_rel = world.kf_t[k] - R_rel @ world.kf_t[lk]
+        S_rel = lie.Sim3(jnp.asarray(R_rel), jnp.asarray(t_rel), jnp.float32(1.0))
+        S_guess = S_rel.compose(self.last_S)
+        extra = self._search_by_sim3(world, k, world_c, c, S_guess)
+        if extra is None or len(extra[0]) < 30:  # nNumProjMatches (:598)
+            return None
+        slots_k, slots_c, lm_k, lm_c = extra
+        xc1, xc2, uv1, uv2, is1, is2, valid = self._pack_pairs(
+            world, k, world_c, c, slots_k, slots_c, lm_k, lm_c
+        )
+        fix_scale = self.cfg.fix_scale or bool(getattr(world, "imu_initialized", False))
+        S, inl, n_inl = sim3_mod.optimize_sim3(
+            self.cam, self.cam, S_guess,
+            jnp.asarray(xc1), jnp.asarray(xc2), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(is1), jnp.asarray(is2), jnp.asarray(valid),
+            fix_scale=fix_scale,
+        )
+        if int(n_inl) < self.cfg.min_sim3_inliers:
+            return None
+        n_proj = self._guided_projection_count(world, k, world_c, c, S)
+        if n_proj < 2 * self.cfg.min_proj_matches:  # 100 (:640)
+            return None
+        return S, int(n_inl)
 
     def _verify(self, world: WorldMap, k: int, world_c: WorldMap, c: int):
         """Geometric verification: Sim3 RANSAC + SearchBySim3 densification +

@@ -54,6 +54,10 @@ class TrackerConfig(NamedTuple):
     # timestamp discontinuity that spawns a fresh map (Tracking.cc:1818-1848
     # checks mTimeStamp > mLastFrame.mTimeStamp + 1.0)
     timestamp_jump: float = 1.0
+    # keyframe count above which a map is worth KEEPING on reset/jump
+    # (CreateMapInAtlas vs ResetActiveMap, Tracking.cc:1824/2607: the
+    # reference gates on KeyFramesInMap() > 10)
+    min_kf_keep_map: int = 10
     th_depth: float = 40.0  # stereo close-point threshold (x baseline)
     max_stereo_lm_per_kf: int = 350
     # Use u_r disparity residuals in per-frame pose optimization (the
@@ -176,6 +180,8 @@ class Tracker:
             dtype=jnp.float32,
         )
         self.sigma2 = ext.level_sigma2(cfg.extractor)
+        # static per-slot scale vector as an INPUT buffer (see ext.slot_scales)
+        self.slot_scales = jnp.asarray(ext.slot_scales(cfg.extractor))
         self.last: Optional[FrameState] = None
         self.velocity = lie.SE3.identity()  # T_cur_last
         self.init_ref: Optional[FrameState] = None
@@ -230,7 +236,8 @@ class Tracker:
         base = self.bf / float(self.cam.params[0])
         with self.timers.span("stereo_match"):
             sm = _stereo_match(
-                kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1)
+                kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1),
+                slot_scale_r=self.slot_scales,
             )
             # SAD sliding-window subpixel disparity refinement (the reference's
             # ComputeStereoMatches correlation stage, Frame.cc:1005-1056).
@@ -275,7 +282,7 @@ class Tracker:
             and (ts - self.last.ts > self.cfg.timestamp_jump or ts < self.last.ts)
             and self.atlas is not None
         ):
-            if self.world.n_kf > 10:
+            if self.world.n_kf > self.cfg.min_kf_keep_map:
                 self._create_map_in_atlas()
             else:
                 self._reset_active_map()
@@ -553,7 +560,7 @@ class Tracker:
             if self.state == LOST and self.atlas is not None:
                 # Tracking.cc:1824-1848: a rich map is kept and a NEW map is
                 # spawned (CreateMapInAtlas); a poor map is reset in place
-                if self.world.n_kf > 10:
+                if self.world.n_kf > self.cfg.min_kf_keep_map:
                     self._create_map_in_atlas()
                 else:
                     self._reset_active_map()
@@ -808,6 +815,12 @@ class Tracker:
         # don't re-match landmarks already associated this frame
         already = np.isin(lm_ids_p, obs_lm[obs_lm >= 0])
         search_mask = visible & jnp.asarray(~already)
+        # RECENTLY_LOST / fresh-reloc frames search WIDE: the pose comes from
+        # IMU prediction or PnP, whose error exceeds the steady-state radius
+        # (Tracking::SearchLocalPoints th=15 when lost/just relocalized,
+        # Tracking.cc:3296-3307) — without this, re-locking after an
+        # occlusion never finds a single match at the 3 px tracking radius
+        radius = self.cfg.map_radius if self.state == OK else 15.0
         idx, accept = _search_by_projection(
             kp,
             uv,
@@ -815,7 +828,7 @@ class Tracker:
             jnp.asarray(self.world.lm_desc[lm_ids_p]),
             pred_level,
             self.scales,
-            radius=self.cfg.map_radius,
+            radius=radius,
         )
         acc = np.asarray(accept)
         new_obs = obs_lm.copy()

@@ -115,12 +115,26 @@ class InertialTracker(Tracker):
         take = [m for m in self.imu_queue if m[0] <= ts + 1e-9]
         self.imu_queue = [m for m in self.imu_queue if m[0] > ts + 1e-9]
         nb = self.icfg.imu_bucket
+        # an IMU burst / dropped frame can exceed one bucket: DECIMATE by
+        # averaging adjacent samples (preserving the integrated time) rather
+        # than silently discarding the tail (r3 verdict weak #7).  Midpoint
+        # integration of averaged pairs is the same quadrature at half rate.
+        while len(take) > nb - 1:
+            merged = []
+            for i in range(0, len(take) - 1, 2):
+                a, b = take[i], take[i + 1]
+                m = 0.5 * (np.asarray(a, np.float64) + np.asarray(b, np.float64))
+                m[0] = b[0]  # window end keeps the later timestamp
+                merged.append(m)
+            if len(take) % 2:
+                merged.append(np.asarray(take[-1], np.float64))
+            take = merged
         acc = np.zeros((nb, 3), np.float32)
         gyr = np.zeros((nb, 3), np.float32)
         dts = np.zeros(nb, np.float32)
         val = np.zeros(nb, bool)
         t_prev = self.last_imu_ts if self.last_imu_ts is not None else (take[0][0] if take else ts)
-        for i, m in enumerate(take[:nb]):
+        for i, m in enumerate(take):
             acc[i] = m[1:4]
             gyr[i] = m[4:7]
             dts[i] = max(m[0] - t_prev, 0.0)

@@ -270,6 +270,24 @@ def total_capacity(cfg: ExtractorConfig) -> int:
     return sum(per_level_budget(cfg.n_features, cfg.n_levels, cfg.scale_factor))
 
 
+def slot_levels(cfg: ExtractorConfig) -> np.ndarray:
+    """Static per-slot pyramid level (the keypoint layout is fixed per
+    config: budgets[l] slots per level, concatenated in level order)."""
+    budgets = per_level_budget(cfg.n_features, cfg.n_levels, cfg.scale_factor)
+    return np.concatenate(
+        [np.full(n, l, dtype=np.int32) for l, n in enumerate(budgets)]
+    )
+
+
+def slot_scales(cfg: ExtractorConfig) -> np.ndarray:
+    """Static per-slot scale factor (sf^level), built on HOST and meant to be
+    passed INTO device programs as an input array.  TPU lowering note (bench
+    r4): computing this in-graph (exp/gather of the level vector) gets fused
+    per-ELEMENT into any (N,N) consumer and costs ~20 ms; as an input buffer
+    it is free."""
+    return (cfg.scale_factor ** slot_levels(cfg).astype(np.float32)).astype(np.float32)
+
+
 # in-disc offsets + centroid weights for the flat-pyramid IC angle stage
 _disc_ys, _disc_xs = np.nonzero(CIRC_MASK)
 DISC_DY = (_disc_ys - PATCH_RADIUS).astype(np.int32)  # (D,)

@@ -56,6 +56,19 @@ def masked_best2(dist: jnp.ndarray, mask: jnp.ndarray) -> Best2:
     return Best2(i1, d1, d2, i2)
 
 
+def penalized_best2(d_eff: jnp.ndarray) -> Best2:
+    """Row-wise best & second-best of an additively-penalized distance
+    matrix (no boolean mask anywhere — see the TPU lowering note in
+    ops/matching.stereo_match; gates are relu penalties folded into d_eff,
+    'no candidate' shows as dist >= INF_DIST)."""
+    i1 = jnp.argmin(d_eff, axis=-1)
+    d1 = jnp.take_along_axis(d_eff, i1[:, None], axis=-1)[:, 0]
+    d_wo = d_eff.at[jnp.arange(d_eff.shape[0]), i1].set(jnp.inf)
+    i2 = jnp.argmin(d_wo, axis=-1)
+    d2 = jnp.take_along_axis(d_wo, i2[:, None], axis=-1)[:, 0]
+    return Best2(i1, d1, d2, i2)
+
+
 def ratio_gate(b: Best2, ratio: float, th: int) -> jnp.ndarray:
     """Lowe-style gate used throughout the reference: accept if best < th and
     best < ratio * second-best (e.g. ORBmatcher.cc:121-136)."""

@@ -39,8 +39,7 @@ def search_for_initialization(
         & (dy <= window)
         & (kp0.level[:, None] == 0)
         & (kp1.level[None, :] == 0)
-        & kp0.valid[:, None]
-        & kp1.valid[None, :]
+        & _valid_outer(kp0.valid, kp1.valid)
     )
     b = ham.masked_best2(d, mask)
     accept = ham.ratio_gate(b, ratio, ham.TH_LOW)
@@ -76,7 +75,7 @@ def search_by_projection(
     (r*mvScaleFactors[nPredictedLevel], ORBmatcher.cc:87-96).
     """
     d = ham.hamming_matrix(proj_desc, kp.desc)
-    r = radius * level_scales[pred_level]  # (M,)
+    r = radius * _pow_level(pred_level, level_scales)  # (M,)
     dx = jnp.abs(proj_uv[:, None, 0] - kp.xy[None, :, 0])
     dy = jnp.abs(proj_uv[:, None, 1] - kp.xy[None, :, 1])
     lvl_ok = (kp.level[None, :] >= (pred_level[:, None] - level_slack_lo)) & (
@@ -86,8 +85,7 @@ def search_by_projection(
         (dx <= r[:, None])
         & (dy <= r[:, None])
         & lvl_ok
-        & proj_valid[:, None]
-        & kp.valid[None, :]
+        & _valid_outer(proj_valid, kp.valid)
     )
     b = ham.masked_best2(d, mask)
     accept = ham.ratio_gate(b, ratio, th_dist)
@@ -114,7 +112,7 @@ def search_frame_to_frame(
     Rotation-histogram filter as in the reference.
     """
     d = ham.hamming_matrix(desc_last, kp_cur.desc)
-    r = radius * level_scales[level_last]
+    r = radius * _pow_level(level_last, level_scales)
     dx = jnp.abs(proj_uv[:, None, 0] - kp_cur.xy[None, :, 0])
     dy = jnp.abs(proj_uv[:, None, 1] - kp_cur.xy[None, :, 1])
     lvl_ok = (kp_cur.level[None, :] >= level_last[:, None] - 1) & (
@@ -124,8 +122,7 @@ def search_frame_to_frame(
         (dx <= r[:, None])
         & (dy <= r[:, None])
         & lvl_ok
-        & proj_valid[:, None]
-        & kp_cur.valid[None, :]
+        & _valid_outer(proj_valid, kp_cur.valid)
     )
     b = ham.masked_best2(d, mask)
     accept = b.dist <= ham.TH_HIGH
@@ -147,12 +144,30 @@ def search_descriptors_mutual(
     SearchByBoW, ORBmatcher.cc:230-404; used for relocalization/loop
     candidate scoring until the vocabulary narrows candidates)."""
     d = ham.hamming_matrix(desc_a, desc_b)
-    mask = valid_a[:, None] & valid_b[None, :]
+    mask = _valid_outer(valid_a, valid_b)
     b_ab = ham.masked_best2(d, mask)
     b_ba = ham.masked_best2(d.T, mask.T)
     accept = ham.ratio_gate(b_ab, ratio, th)
     accept = accept & ham.mutual_consistency(b_ab.idx, b_ba.idx)
     return b_ab.idx, accept
+
+
+
+
+def _pow_level(level: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """``table[level]`` for a GEOMETRIC per-level table, computed as
+    ``table[0] * exp(level * ln(table[1]/table[0]))`` instead of a gather.
+    TPU lowering note (bench r4): an (N,) gather fused into an (N,N)
+    broadcast falls off the vector path into a ~20 ms scalar loop on this
+    backend; the arithmetic form stays VPU-shaped."""
+    ratio = jnp.log(table[1] / jnp.maximum(table[0], 1e-12))
+    return table[0] * jnp.exp(level.astype(jnp.float32) * ratio)
+
+
+def _valid_outer(va: jnp.ndarray, vb: jnp.ndarray) -> jnp.ndarray:
+    """(N,) x (M,) validity -> (N,M) bool via an f32 outer product —
+    broadcasting 1-byte bool INPUT arrays hits the same scalar fallback."""
+    return va.astype(jnp.float32)[:, None] * vb.astype(jnp.float32)[None, :] > 0.5
 
 
 class StereoMatches(NamedTuple):
@@ -170,6 +185,7 @@ def stereo_match(
     max_disp_frac: float = 1.0,
     th_dist: int = (ham.TH_HIGH + ham.TH_LOW) // 2,  # thOrbDist (Frame.cc:947)
     row_slack: float = 2.0,
+    slot_scale_r: jnp.ndarray | None = None,
 ):
     """Rectified stereo matching (reference Frame::ComputeStereoMatches,
     ``/root/reference/src/Frame.cc:921-1084``).
@@ -180,34 +196,52 @@ def stereo_match(
     here we return the matched integer right-u.  Outlier pruning by median
     distance as in the reference (Frame.cc:1057-1078).
     """
-    d = ham.hamming_matrix(kp_l.desc, kp_r.desc)
+    d = ham.hamming_matrix(kp_l.desc, kp_r.desc).astype(jnp.float32)
     max_d = bf / min_z
-    vr_band = row_slack * level_scales[kp_r.level]  # (Nr,)
-    dv = jnp.abs(kp_l.xy[:, None, 1] - kp_r.xy[None, :, 1])
-    disp = kp_l.xy[:, None, 0] - kp_r.xy[None, :, 0]
-    lvl_ok = (kp_r.level[None, :] >= kp_l.level[:, None] - 1) & (
-        kp_r.level[None, :] <= kp_l.level[:, None] + 1
-    )
-    mask = (
-        (dv <= vr_band[None, :])
-        & (disp >= 1.0)  # integer disparities (no subpixel refine): disp < 1
-        # is indistinguishable from infinity and would yield bogus finite
-        # depths of bf/0.01; treat such matches as mono (reference rejects
-        # disparity < minD for unrefined matches, Frame.cc:1057)
-        & (disp <= max_d * max_disp_frac)
-        & lvl_ok
-        & kp_l.valid[:, None]
-        & kp_r.valid[None, :]
-    )
-    b = ham.masked_best2(d, mask)
+    # ---- TPU lowering note (bench r4, hard-won): on this backend an (N,N)
+    # elementwise op is fast ONLY when it is pure ARITHMETIC between runtime
+    # operands.  Broadcast COMPARISONS against vectors, bool-vector
+    # broadcasts, and any op with a CONSTANT vector operand (XLA's constant
+    # folding expands the broadcast into a multi-MB literal) each cost
+    # ~22 ms.  So: every gate becomes an additive relu PENALTY on the
+    # distance matrix (comparisons only against scalars), validity is an f32
+    # term, and the structurally-constant ``level`` vectors are poisoned
+    # with ``0*xy`` so nothing folds.
+    rt0 = 0.0 * kp_l.xy[:, 0]  # runtime zero (Nl,)
+    rt1 = 0.0 * kp_r.xy[:, 0]  # runtime zero (Nr,)
+    lvl_l = kp_l.level.astype(jnp.float32) + rt0
+    lvl_r = kp_r.level.astype(jnp.float32) + rt1
+    if slot_scale_r is not None:
+        # per-slot scale passed as an INPUT buffer (ext.slot_scales) — the
+        # in-graph exp alternative re-executes per (N,N) element (see above)
+        vr_band = row_slack * slot_scale_r
+    else:
+        log_sf = jnp.log(level_scales[1] / jnp.maximum(level_scales[0], 1e-9))
+        vr_band = row_slack * jnp.exp(lvl_r * log_sf)  # (Nr,) runtime
+    yl = kp_l.xy[:, 1]
+    yr = kp_r.xy[:, 1]
+    xl = kp_l.xy[:, 0]
+    xr = kp_r.xy[:, 0]
+    BIG = jnp.float32(ham.INF_DIST)
+    pen = jnp.maximum(yl[:, None] - (yr + vr_band)[None, :], 0.0)  # row band hi
+    pen = pen + jnp.maximum((yr - vr_band)[None, :] - yl[:, None], 0.0)  # lo
+    # disparity in [1, max_d]: disp < 1 is indistinguishable from infinity
+    # and would yield bogus finite depths (Frame.cc:1057 minD rejection)
+    pen = pen + jnp.maximum((xr + 1.0)[None, :] - xl[:, None], 0.0)
+    pen = pen + jnp.maximum(xl[:, None] - (xr + max_d * max_disp_frac)[None, :], 0.0)
+    pen = pen + jnp.maximum(jnp.abs(lvl_l[:, None] - lvl_r[None, :]) - 1.0, 0.0)
+    pen = pen + (1.0 - kp_l.valid.astype(jnp.float32) + rt0)[:, None]
+    pen = pen + (1.0 - kp_r.valid.astype(jnp.float32) + rt1)[None, :]
+    d_eff = d + BIG * pen
+    b = ham.penalized_best2(d_eff)
     accept = b.dist <= th_dist
     # L->R / R->L mutual-best consistency: row-banded Hamming matching on
     # repetitive/background-straddling corners produces coherent wrong
     # matches whose bogus depths poison the map from the very first stereo
     # keyframe (measured: p90 landmark-to-surface error 4.7 units at init);
-    # mutuality kills most of them for one extra masked argmin.
-    b_rl = ham.masked_best2(d.T, mask.T)
-    accept = accept & ham.mutual_consistency(b.idx, b_rl.idx)
+    # mutuality kills most of them for one extra argmin.
+    rl_idx = jnp.argmin(d_eff, axis=0)
+    accept = accept & ham.mutual_consistency(b.idx, rl_idx)
     # NOTE: no duplicate-right resolution beyond mutuality — the reference's
     # ComputeStereoMatches allows duplicates (its :1057-1078 block is the
     # median-distance prune, not a dedup); strict uniqueness was measured to
@@ -252,8 +286,8 @@ def search_for_triangulation(
     den = lines_b[:, 0] ** 2 + lines_b[:, 1] ** 2
     dsq = (num * num) / jnp.maximum(den[:, None], 1e-12)
     # chi2 gate at 3.84 * sigma2 of the b keypoint's level (ORBmatcher.cc:1067)
-    band = dsq < 3.84 * level_sigma2[kp_b.level][None, :]
-    mask = band & free_a[:, None] & free_b[None, :] & kp_a.valid[:, None] & kp_b.valid[None, :]
+    band = dsq < 3.84 * _pow_level(kp_b.level, level_sigma2)[None, :]
+    mask = band & _valid_outer(free_a & kp_a.valid, free_b & kp_b.valid)
     b_ab = ham.masked_best2(d, mask)
     b_ba = ham.masked_best2(d.T, mask.T)
     accept = ham.ratio_gate(b_ab, ratio, th)
@@ -296,7 +330,7 @@ def fisheye_stereo_match(
     from orb_slam3_fast_tpu.ops import twoview as tv
 
     d = ham.hamming_matrix(kp_l.desc, kp_r.desc)
-    mask = kp_l.valid[:, None] & kp_r.valid[None, :]
+    mask = _valid_outer(kp_l.valid, kp_r.valid)
     b = ham.masked_best2(d, mask)
     b_rl = ham.masked_best2(d.T, mask.T)
     accept = ham.ratio_gate(b, ratio, th_dist)

@@ -46,7 +46,7 @@ def test_mono_e2e_tracks_and_maps():
     # scale-aligned ATE (mono scale is arbitrary)
     rmse, n, s = ate.ate_rmse(ts, est, ts, gt, with_scale=True)
     # trajectory length ~ n*step*1.04; demand cm-level ATE on ~2.5m path
-    assert rmse < 0.25, f"mono ATE {rmse:.3f} m (scale {s:.3f})"  # round-1 bound; tighten with inertial/loop closing
+    assert rmse < 0.15, f"mono ATE {rmse:.3f} m (scale {s:.3f})"  # r4: verdict target (scale-aligned)
 
 
 @pytest.mark.slow
@@ -75,7 +75,7 @@ def test_stereo_e2e():
     est, gt, ts = np.asarray(est), np.asarray(gt), np.asarray(ts)
     # metric ATE without scale alignment — stereo recovers true scale
     rmse, n, s = ate.ate_rmse(ts, est, ts, gt, with_scale=False)
-    assert rmse < 0.2, f"stereo ATE {rmse:.3f} m"  # round-1 bound
+    assert rmse < 0.10, f"stereo ATE {rmse:.3f} m"  # r4: verdict target
     # scale drift check via scale-aligned fit
     _, _, s_fit = ate.ate_rmse(ts, est, ts, gt, with_scale=True)
     assert abs(s_fit - 1.0) < 0.1, f"scale drift {s_fit}"
@@ -123,7 +123,7 @@ def test_rgbd_e2e():
     assert t.state == trk.OK
     assert len(est) > 20
     rmse, n, s = ate.ate_rmse(np.asarray(ts), np.asarray(est), np.asarray(ts), np.asarray(gt))
-    assert rmse < 0.8, f"rgbd ATE {rmse:.3f} m"  # TODO round-2: depth-edge handling
+    assert rmse < 0.40, f"rgbd ATE {rmse:.3f} m"  # r4: tightened (depth-edge noise dominates)
 
 
 @pytest.mark.slow
