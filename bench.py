@@ -210,8 +210,22 @@ def main():
     try:
         import os
 
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md"), "w") as f:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
+        # preserve hand-measured sections (backend budget etc.) across bench
+        # re-runs: everything from the first "## Backend" heading on survives
+        extra = ""
+        try:
+            with open(path) as f:
+                old = f.read()
+            i = old.find("## Backend")
+            if i >= 0:
+                extra = old[i:]
+        except OSError:
+            pass
+        with open(path, "w") as f:
             f.write("\n".join(lines))
+            if extra:
+                f.write(extra)
     except OSError:
         pass
     for k, v in stages.items():

@@ -156,7 +156,13 @@ class AsyncBackend:
                     self.gba_aborted += 1
                 thunk = self._gba_queue.popleft()
                 self._gba_busy = True
-            self.gba_abort.clear()
+                # clear the abort INSIDE the critical section, and only when
+                # no newer request raced in: a request_gba() that fired
+                # between the pop and an unconditional clear() intends to
+                # kill THIS solve (it saw _gba_busy/queued) — erasing its
+                # abort would run the superseded solve to completion
+                if not self._gba_queue:
+                    self.gba_abort.clear()
             try:
                 completed = thunk(abort_flag=self.gba_abort, map_lock=self.lock)
                 if completed:

@@ -30,7 +30,7 @@ from orb_slam3_fast_tpu.ops import extractor as ext
 from orb_slam3_fast_tpu.ops import matching as mat
 from orb_slam3_fast_tpu.ops import twoview
 from orb_slam3_fast_tpu.optim import pnp, pose_opt
-from orb_slam3_fast_tpu.utils import lie
+from orb_slam3_fast_tpu.utils import lie, verbose
 from orb_slam3_fast_tpu.vocab import vocabulary as voc_mod
 
 # tracking states (Tracking.h:122-130)
@@ -89,8 +89,9 @@ class FrameState:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _visible_landmarks(cam, R, t, lm_pos, lm_mask, lm_normal, lm_dmin, lm_dmax, wh):
+@partial(jax.jit, static_argnames=("log_sf", "n_lvl"))
+def _visible_landmarks(cam, R, t, lm_pos, lm_mask, lm_normal, lm_dmin, lm_dmax, wh,
+                       log_sf: float = float(np.log(1.2)), n_lvl: int = 8):
     """Frustum + scale-band + view-angle check (Frame::isInFrustum,
     /root/reference/src/Frame.cc:632-720) for a padded landmark block.
     Returns (uv, pred_level, visible)."""
@@ -109,7 +110,7 @@ def _visible_landmarks(cam, R, t, lm_pos, lm_mask, lm_normal, lm_dmin, lm_dmax, 
     # PredictScale (MapPoint.cc:543-558)
     ratio = jnp.maximum(lm_dmax / jnp.maximum(dist, 1e-9), 1.0)
     pred_level = jnp.clip(
-        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, 7
+        jnp.ceil(jnp.log(ratio) / log_sf).astype(jnp.int32), 0, n_lvl - 1
     )
     return uv, pred_level, lm_mask & z_ok & in_img & dist_ok & angle_ok
 
@@ -815,6 +816,7 @@ class Tracker:
         lm_ids = self._local_landmark_ids()
         cap = self.cfg.lm_cap
         if len(lm_ids) > cap:
+            verbose.warn_cap("tracker.local_map_landmarks", cap, len(lm_ids))
             lm_ids = lm_ids[np.random.default_rng(0).choice(len(lm_ids), cap, replace=False)]
         pad = cap - len(lm_ids)
         lm_ids_p = np.concatenate([lm_ids, np.zeros(pad, dtype=lm_ids.dtype)])
@@ -829,6 +831,8 @@ class Tracker:
             jnp.asarray(self.world.lm_dmin[lm_ids_p]),
             jnp.asarray(self.world.lm_dmax[lm_ids_p]),
             self.wh,
+            log_sf=float(np.log(self.cfg.extractor.scale_factor)),
+            n_lvl=int(self.cfg.extractor.n_levels),
         )
         # visibility counters (GetFoundRatio bookkeeping, SearchLocalPoints)
         vis_np = np.asarray(visible)

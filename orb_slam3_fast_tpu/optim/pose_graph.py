@@ -9,10 +9,17 @@ for the inertial yaw-only gauge).
 Design (SURVEY.md §7): instead of g2o's pointer hypergraph + sparse Cholesky,
 vertices are SoA Sim3 arrays and edges a padded COO list; every GN iteration
 evaluates ALL edge residuals/Jacobians batched (vmap + jacfwd of the 7-dof
-tangent update) and scatter-adds 7x7 blocks into a dense KxK-block normal
-matrix — the graph is small (hundreds of KFs) so a dense device solve beats
-sparse bookkeeping; at larger K this is the matrix the distributed layer
-shards (parallel/dist_ba.py pattern).
+tangent update).  The normal equations are solved two ways, picked by graph
+size at trace time (``_solve_normal_eqs``):
+
+  * small graphs (K <= 128): scatter-add into a dense KxK-block matrix and
+    one device Cholesky/LU — exact, and cheap at local scale;
+  * large graphs: the reference runs the essential graph over ALL keyframes
+    at every loop (Optimizer.cc:1518-1827), where dense is O((7K)^3) flops
+    and O(49K^2) memory (~1.8 GB at 3k KFs).  The per-edge blocks stay on
+    the edge table and H*v is two gathers + einsum + scatter-add (the graph
+    Laplacian as an operator), solved by block-Jacobi preconditioned CG —
+    the same implicit pattern as the BA engines (optim/ba_cg.py).
 """
 from __future__ import annotations
 
@@ -23,6 +30,97 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_fast_tpu.utils import lie
+
+# dense-solve cutoff: above this vertex count the GN step switches to the
+# implicit edge-operator PCG path
+DENSE_MAX_K = 128
+# test hook: force the PCG path regardless of K (equivalence tests)
+_FORCE_CG = False
+
+
+def _solve_normal_eqs(r, Ji, Jj, edge_i, edge_j, w, fixed, damping):
+    """One GN linear solve of the pose-graph normal equations.
+
+    Inputs: per-edge residual ``r (E,D)`` and Jacobians ``Ji/Jj (E,D,D)``
+    (already weighted by validity via ``w``), COO edge indices, per-vertex
+    ``fixed`` gauge mask.  Returns ``dx (K,D)`` (zero rows at fixed
+    vertices).  Dense exact solve for small K; block-Jacobi PCG on the
+    implicit edge operator at scale (see module docstring)."""
+    D = Ji.shape[-1]  # tangent dim (7 Sim3; 4 yaw+t, whose residual is 6-D)
+    K = fixed.shape[0]
+    w2 = w[:, None]
+    Jiw = Ji * w2[..., None]
+    Jjw = Jj * w2[..., None]
+    Hii = jnp.einsum("eri,erj->eij", Jiw, Ji)
+    Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj)
+    Hij = jnp.einsum("eri,erj->eij", Jiw, Jj)
+    bi = jnp.einsum("eri,er->ei", Jiw, r)
+    bj = jnp.einsum("eri,er->ei", Jjw, r)
+    b = jnp.zeros((K, D)).at[edge_i].add(bi).at[edge_j].add(bj)
+    free = ~fixed
+    free_f = free.astype(b.dtype)
+    eye = jnp.eye(D)
+
+    if K <= DENSE_MAX_K and not _FORCE_CG:
+        H = jnp.zeros((K, K, D, D))
+        H = H.at[edge_i, edge_i].add(Hii)
+        H = H.at[edge_j, edge_j].add(Hjj)
+        H = H.at[edge_i, edge_j].add(Hij)
+        H = H.at[edge_j, edge_i].add(jnp.swapaxes(Hij, -1, -2))
+        H = H * free_f[:, None, None, None] * free_f[None, :, None, None]
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            (1.0 - free_f)[:, None, None] * eye + damping * eye
+        )
+        bm = b * free_f[:, None]
+        Hd = H.transpose(0, 2, 1, 3).reshape(K * D, K * D)
+        return -jnp.linalg.solve(Hd, bm.reshape(-1)).reshape(K, D) * free_f[:, None]
+
+    # ---- implicit PCG path ----
+    cg_iters = int(max(64, min(512, K // 4)))
+    b_s = -b * free_f[:, None]
+    Dblk = jnp.zeros((K, D, D)).at[edge_i].add(Hii).at[edge_j].add(Hjj)
+    Dblk = Dblk + damping * eye
+    Dblk = jnp.where(free[:, None, None], Dblk, eye)
+    Dinv = jnp.linalg.inv(Dblk + 1e-8 * eye)
+
+    def H_mv(v):
+        v = v * free_f[:, None]
+        out = damping * v
+        vi = v[edge_i]
+        vj = v[edge_j]
+        out = out.at[edge_i].add(
+            jnp.einsum("eab,eb->ea", Hii, vi) + jnp.einsum("eab,eb->ea", Hij, vj)
+        )
+        out = out.at[edge_j].add(
+            jnp.einsum("eab,eb->ea", Hjj, vj) + jnp.einsum("eba,eb->ea", Hij, vi)
+        )
+        return out * free_f[:, None]
+
+    def precond(rr):
+        return jnp.einsum("kab,kb->ka", Dinv, rr) * free_f[:, None]
+
+    x = jnp.zeros_like(b_s)
+    rr = b_s
+    z = precond(rr)
+    p = z
+    rz = jnp.sum(rr * z)
+
+    def body(carry, _):
+        x, rr, z, p, rz = carry
+        Ap = H_mv(p)
+        pAp = jnp.sum(p * Ap)
+        ok = rz > 1e-12
+        alpha = jnp.where(ok, rz / jnp.maximum(pAp, 1e-20), 0.0)
+        x = x + alpha * p
+        rr = rr - alpha * Ap
+        z_new = precond(rr)
+        rz_new = jnp.sum(rr * z_new)
+        beta = jnp.where(ok, rz_new / jnp.maximum(rz, 1e-20), 0.0)
+        p = z_new + beta * p
+        return (x, rr, z_new, p, rz_new), None
+
+    (x, _, _, _, _), _ = jax.lax.scan(body, (x, rr, z, p, rz), None, length=cg_iters)
+    return x * free_f[:, None]
 
 
 class Sim3Graph(NamedTuple):
@@ -72,32 +170,9 @@ def optimize_sim3_graph(g: Sim3Graph, iters: int = 12, damping: float = 1e-6):
             return r, Ji, Jj
 
         r, Ji, Jj = jax.vmap(one_edge)(g.edge_i, g.edge_j, g.meas_R, g.meas_t, g.meas_s)
-        w = (g.edge_valid * g.edge_w)[:, None]
-        rw = r * w
-        Jiw = Ji * w[..., None]
-        Jjw = Jj * w[..., None]
-        # assemble dense H (7K,7K), b (7K)
-        Hii = jnp.einsum("eri,erj->eij", Jiw, Ji)
-        Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj)
-        Hij = jnp.einsum("eri,erj->eij", Jiw, Jj)
-        bi = jnp.einsum("eri,er->ei", Jiw, r)
-        bj = jnp.einsum("eri,er->ei", Jjw, r)
-        H = jnp.zeros((K, K, 7, 7))
-        H = H.at[g.edge_i, g.edge_i].add(Hii)
-        H = H.at[g.edge_j, g.edge_j].add(Hjj)
-        H = H.at[g.edge_i, g.edge_j].add(Hij)
-        H = H.at[g.edge_j, g.edge_i].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((K, 7)).at[g.edge_i].add(bi).at[g.edge_j].add(bj)
-        # gauge fixing: zero rows/cols of fixed vertices, identity diag
-        free = (~g.fixed).astype(H.dtype)
-        H = H * free[:, None, None, None] * free[None, :, None, None]
-        eye7 = jnp.eye(7)
-        H = H.at[jnp.arange(K), jnp.arange(K)].add(
-            (1.0 - free)[:, None, None] * eye7 + damping * eye7
+        dx = _solve_normal_eqs(
+            r, Ji, Jj, g.edge_i, g.edge_j, g.edge_valid * g.edge_w, g.fixed, damping
         )
-        b = b * free[:, None]
-        Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7)
-        dx = -jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 7)
         Snew = lie.sim3_exp(dx).compose(Svert)
         return (lie.normalize_rotation(Snew.R), Snew.t, Snew.s)
 
@@ -162,29 +237,9 @@ def optimize_4dof_graph(g: SE3Graph, iters: int = 12, damping: float = 1e-6):
             return r, Ji, Jj
 
         r, Ji, Jj = jax.vmap(one_edge)(g.edge_i, g.edge_j, g.meas_R, g.meas_t)
-        w = (g.edge_valid * g.edge_w)[:, None]
-        Jiw = Ji * w[..., None]
-        Jjw = Jj * w[..., None]
-        Hii = jnp.einsum("eri,erj->eij", Jiw, Ji)
-        Hjj = jnp.einsum("eri,erj->eij", Jjw, Jj)
-        Hij = jnp.einsum("eri,erj->eij", Jiw, Jj)
-        bi = jnp.einsum("eri,er->ei", Jiw, r)
-        bj = jnp.einsum("eri,er->ei", Jjw, r)
-        H = jnp.zeros((K, K, 4, 4))
-        H = H.at[g.edge_i, g.edge_i].add(Hii)
-        H = H.at[g.edge_j, g.edge_j].add(Hjj)
-        H = H.at[g.edge_i, g.edge_j].add(Hij)
-        H = H.at[g.edge_j, g.edge_i].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((K, 4)).at[g.edge_i].add(bi).at[g.edge_j].add(bj)
-        free = (~g.fixed).astype(H.dtype)
-        H = H * free[:, None, None, None] * free[None, :, None, None]
-        eye4 = jnp.eye(4)
-        H = H.at[jnp.arange(K), jnp.arange(K)].add(
-            (1.0 - free)[:, None, None] * eye4 + damping * eye4
+        dx = _solve_normal_eqs(
+            r, Ji, Jj, g.edge_i, g.edge_j, g.edge_valid * g.edge_w, g.fixed, damping
         )
-        b = b * free[:, None]
-        Hd = H.transpose(0, 2, 1, 3).reshape(K * 4, K * 4)
-        dx = -jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 4)
 
         def upd(dxk, Rk, tk):
             return _yaw_update(dxk, Rk, tk)

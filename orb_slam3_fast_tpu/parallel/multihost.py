@@ -63,9 +63,18 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
         # single-process run with pod-looking env (e.g. one-host v4-8):
-        # local devices already form the full mesh
+        # local devices already form the full mesh — but SAY so, a silently
+        # degraded per-host mesh on a real pod is a hard bug to spot
+        from orb_slam3_fast_tpu.utils import verbose
+
+        verbose.print_mess(
+            f"multihost: pod-like environment detected but "
+            f"jax.distributed.initialize failed ({e}); continuing with the "
+            f"per-host mesh ({len(jax.local_devices())} local devices)",
+            verbose.VERBOSITY_NORMAL,
+        )
         return False
     _initialized = True
     return True

@@ -64,12 +64,15 @@ class System:
         # multi-chip: bring up the process group (no-op single-host) and
         # shard place-recognition scoring over the global mesh (SURVEY §2.3
         # north star; the reference walks its inverted file on one thread)
+        # initialize the process group BEFORE the first jax.devices() call:
+        # touching the backend first would pin a per-host device list and make
+        # jax.distributed.initialize raise on a real pod (advisor r4 finding)
+        from orb_slam3_fast_tpu.parallel import multihost
+
+        multihost.initialize()
         import jax as _jax
 
         if len(_jax.devices()) > 1 and max_keyframes % len(_jax.devices()) == 0:
-            from orb_slam3_fast_tpu.parallel import multihost
-
-            multihost.initialize()
             self.kfdb.attach_mesh(multihost.global_mesh())
 
         ecfg = ext.ExtractorConfig(
@@ -153,6 +156,14 @@ class System:
                 lambda w, kn, window=None: self.tracker._local_inertial_ba(
                     kn, window=window, world=w, sync_tracker=False
                 )
+            )
+            # FullInertialBA (Optimizer.cc:374-780): the loop closer's
+            # inertial GBA thunk — uncapped implicit-Schur CG over the whole
+            # chain, abortable, lock-aware (runs on the GBA thread)
+            self.loopcloser.inertial_gba = self.tracker._full_inertial_ba
+            # dedicated MergeInertialBA 6+6 welding window (Opt.cc:3996-4543)
+            self.loopcloser.merge_inertial_ba = (
+                lambda w, kn, c2: self.tracker._merge_inertial_ba(w, kn, c2)
             )
         self._finished = False
 

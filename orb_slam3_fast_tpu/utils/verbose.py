@@ -30,3 +30,18 @@ def print_mess(msg: str, level: int = VERBOSITY_NORMAL):
     """Verbose::PrintMess: emit ``msg`` iff ``level`` <= current threshold."""
     if level <= _level:
         print(msg, file=sys.stderr, flush=True)
+
+
+_cap_hits: dict = {}
+
+
+def warn_cap(tag: str, kept: int, total: int, level: int = VERBOSITY_NORMAL):
+    """One-line warning whenever a fixed capacity truncates real work
+    (SURVEY "no silent caps" rule).  Throttled per call-site tag: the first
+    hit always prints, then every 100th, with a running total."""
+    n = _cap_hits.get(tag, 0) + 1
+    _cap_hits[tag] = n
+    if n == 1 or n % 100 == 0:
+        print_mess(
+            f"[cap] {tag}: kept {kept}/{total} ({n} hits so far)", level
+        )

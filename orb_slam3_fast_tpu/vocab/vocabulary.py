@@ -72,13 +72,21 @@ class Vocabulary(NamedTuple):
 
     # ------------------------------------------------------------------
     def save(self, path: str):
+        """Centroid bits are stored PACKED (np.packbits, 32 bytes/centroid):
+        a 1M-word depth-6 tree is ~36 MB on disk instead of ~280 MB (the
+        reference ships its 1M-word ORBvoc as a ~44 MB tarball).  Sentinel
+        rows of dead branches are reconstructed from ``alive`` on load."""
         np.savez_compressed(
             path,
             branching=self.branching,
             depth=self.depth,
             levels_up=self.levels_up,
+            packed=1,
             weights=np.asarray(self.weights),
-            **{f"c{l}": np.asarray(c) for l, c in enumerate(self.centroids)},
+            **{
+                f"c{l}": np.packbits(np.asarray(c) == 1, axis=1)
+                for l, c in enumerate(self.centroids)
+            },
             **{f"a{l}": np.asarray(a) for l, a in enumerate(self.alive)},
         )
 
@@ -86,10 +94,19 @@ class Vocabulary(NamedTuple):
     def load(path: str) -> "Vocabulary":
         z = np.load(path)
         depth = int(z["depth"])
+        packed = "packed" in z.files
+        cents = []
+        for l in range(depth):
+            c = z[f"c{l}"]
+            if packed:
+                a = z[f"a{l}"]
+                c = np.unpackbits(c, axis=1)[:, :256].astype(np.int8)
+                c[~a] = _SENTINEL
+            cents.append(jnp.asarray(c))
         return Vocabulary(
             branching=int(z["branching"]),
             depth=depth,
-            centroids=tuple(jnp.asarray(z[f"c{l}"]) for l in range(depth)),
+            centroids=tuple(cents),
             alive=tuple(jnp.asarray(z[f"a{l}"]) for l in range(depth)),
             weights=jnp.asarray(z["weights"]),
             levels_up=int(z["levels_up"]),
@@ -101,32 +118,46 @@ class Vocabulary(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+_KM_CHUNK = 1 << 18  # rows per distance-matmul chunk (bounds peak memory)
+
+
 def _kmedians_binary(desc: np.ndarray, k: int, rng: np.random.Generator, iters: int = 8):
     """k-medians on binary descriptors: Hamming assignment (via matmul),
     majority-vote centroid update (the binary analogue of DBoW2's
-    ``meanValue``)."""
+    ``meanValue``).  The assignment pass is CHUNKED so multi-million-row
+    splits (the top levels of a 1M-word tree) never materialize an (N,256)
+    float copy — peak extra memory is O(_KM_CHUNK * 256)."""
     n = desc.shape[0]
     k_eff = min(k, n)
-    # k-means++-ish init: random distinct rows
     centers = desc[rng.choice(n, size=k_eff, replace=False)].astype(np.float32)
-    df = desc.astype(np.float32)
-    pop = df.sum(1)
+    pop = desc.sum(1, dtype=np.int32).astype(np.float32)
+
+    def assign_pass(centers):
+        csum = centers.sum(1)
+        out = np.empty(n, np.int64)
+        dmin = np.empty(n, np.float32)
+        for s in range(0, n, _KM_CHUNK):
+            df = desc[s : s + _KM_CHUNK].astype(np.float32)
+            d = pop[s : s + _KM_CHUNK, None] + csum[None, :] - 2.0 * (df @ centers.T)
+            out[s : s + _KM_CHUNK] = d.argmin(1)
+            dmin[s : s + _KM_CHUNK] = d.min(1)
+        return out, dmin
+
     assign = None
     for _ in range(iters):
-        # hamming = |a| + |b| - 2 a.b
-        d = pop[:, None] + centers.sum(1)[None, :] - 2.0 * (df @ centers.T)
-        new_assign = d.argmin(1)
+        new_assign, dmin = assign_pass(centers)
         if assign is not None and np.array_equal(new_assign, assign):
             break
         assign = new_assign
         for j in range(k_eff):
             m = assign == j
             if m.any():
-                centers[j] = (df[m].mean(0) >= 0.5).astype(np.float32)
+                centers[j] = (
+                    desc[m].sum(0, dtype=np.int64) >= 0.5 * m.sum()
+                ).astype(np.float32)
             else:  # re-seed empty cluster at the farthest descriptor
-                centers[j] = df[d.min(1).argmax()]
-    d = pop[:, None] + centers.sum(1)[None, :] - 2.0 * (df @ centers.T)
-    assign = d.argmin(1)
+                centers[j] = desc[dmin.argmax()].astype(np.float32)
+    assign, _ = assign_pass(centers)
     return centers.astype(np.int8), assign
 
 
@@ -176,7 +207,12 @@ def train(
         weights=jnp.ones(B**depth, dtype=jnp.float32),
         levels_up=max(depth - 1, 1),
     )
-    words = np.asarray(transform_words(voc, jnp.asarray(wd)))
+    # chunked: the (N, B, 256) descent gather at 1M words over millions of
+    # training descriptors would transiently need tens of GB unchunked
+    words = np.concatenate([
+        np.asarray(transform_words(voc, jnp.asarray(wd[s : s + 65536])))
+        for s in range(0, len(wd), 65536)
+    ])
     counts = np.bincount(words, minlength=B**depth).astype(np.float64)
     n = max(len(words), 1)
     idf = np.log(n / np.maximum(counts, 1.0)).astype(np.float32)
@@ -279,6 +315,46 @@ def large_vocabulary(branching: int = 10, depth: int = 5,
     voc = train(desc, branching=branching, depth=depth)
     try:
         voc.save(_LARGE_PATH)
+    except OSError:
+        pass
+    return voc
+
+
+_HUGE_PATH = os.path.join(os.path.dirname(__file__), "_huge_voc.npz")
+
+
+def huge_vocabulary(branching: int = 10, depth: int = 6,
+                    n_images: int = 4096, batch: int = 512) -> Vocabulary:
+    """REFERENCE-scale vocabulary: 10^6 words (branching 10, depth 6) — the
+    ORBvoc.txt class of tree the reference loads at
+    ``/root/reference/src/System.cc:131``.  Trained once offline on a large
+    procedural corpus (~n_images * 1k descriptors) and cached packed
+    (~36 MB on disk, see ``Vocabulary.save``; the reference ships ~44 MB).
+
+    Costs to know (documented for RESULTS.md): the level-5 leaf-centroid
+    table is (10^6, 256) int8 = 256 MB unpacked in device memory; descent
+    latency grows by one gather+matmul level vs the 100k tree.  The sparse
+    KeyFrameDatabase rows already scale to 1M words (vocab/database.py).
+
+    Pass ``System(..., vocabulary=vocab_mod.huge_vocabulary())`` to use it.
+    """
+    if os.path.exists(_HUGE_PATH):
+        try:
+            v = Vocabulary.load(_HUGE_PATH)
+            if v.branching == branching and v.depth == depth:
+                return v
+        except Exception:
+            pass
+    # harvest in seed batches so the corpus is diverse and restartable
+    chunks = []
+    for b in range(0, n_images, batch):
+        chunks.append(
+            _procedural_descriptors(n_images=min(batch, n_images - b), seed=7 + b)
+        )
+    desc = np.concatenate(chunks)
+    voc = train(desc, branching=branching, depth=depth)
+    try:
+        voc.save(_HUGE_PATH)
     except OSError:
         pass
     return voc

