@@ -703,28 +703,41 @@ class LoopCloser:
                 mR[e] = R
                 mt[e] = t_old[i] - R @ t_old[j]
                 ms[e] = 1.0
-        fixed = np.zeros(K, bool)
+        # pad the VERTEX set to a power-of-2 bucket: every loop closure runs
+        # at a different n_kf, and an unpadded K means a fresh XLA compile of
+        # the whole graph program per closure (padding vertices are fixed and
+        # touched by no edge, so the solution is unchanged)
+        Kp = int(2 ** np.ceil(np.log2(max(K, 8))))
+        fixed = np.zeros(Kp, bool)
         fixed[c] = True
+        fixed[K:] = True
+        R_pad = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+        t_pad = np.zeros((Kp, 3), np.float32)
+        s_pad = np.ones(Kp, np.float32)
+        R_pad[:K], t_pad[:K], s_pad[:K] = R_init[:K], t_init[:K], s_init[:K]
         if getattr(world, "imu_initialized", False):
             g = pg.SE3Graph(
-                R=jnp.asarray(R_init[:K]), t=jnp.asarray(t_init[:K]),
+                R=jnp.asarray(R_pad), t=jnp.asarray(t_pad),
                 edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
                 meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt),
                 edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed),
                 edge_w=jnp.ones(E),
             )
             Rn, tn = pg.optimize_4dof_graph(g, iters=cfg.pose_graph_iters)
-            Rn, tn = lie.normalize_rotation_np(np.asarray(Rn)), np.asarray(tn)
+            Rn = lie.normalize_rotation_np(np.asarray(Rn)[:K])
+            tn = np.asarray(tn)[:K]
             sn = np.ones(K, np.float32)
         else:
             g = pg.Sim3Graph(
-                R=jnp.asarray(R_init[:K]), t=jnp.asarray(t_init[:K]), s=jnp.asarray(s_init[:K]),
+                R=jnp.asarray(R_pad), t=jnp.asarray(t_pad), s=jnp.asarray(s_pad),
                 edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
                 meas_R=jnp.asarray(mR), meas_t=jnp.asarray(mt), meas_s=jnp.asarray(ms),
                 edge_valid=jnp.asarray(ev), fixed=jnp.asarray(fixed), edge_w=jnp.ones(E),
             )
             Rn, tn, sn = pg.optimize_sim3_graph(g, iters=cfg.pose_graph_iters)
-            Rn, tn, sn = lie.normalize_rotation_np(np.asarray(Rn)), np.asarray(tn), np.asarray(sn)
+            Rn = lie.normalize_rotation_np(np.asarray(Rn)[:K])
+            tn = np.asarray(tn)[:K]
+            sn = np.asarray(sn)[:K]
         # correct all landmarks with their reference KF's Sim3 delta (:1780)
         lm_ids = np.nonzero(world.lm_valid[: world.n_lm])[0]
         if len(lm_ids):

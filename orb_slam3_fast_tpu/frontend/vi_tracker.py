@@ -789,13 +789,30 @@ class InertialTracker(Tracker):
             R_before = w.kf_R[:K_snap].copy()
             t_before = w.kf_t[:K_snap].copy()
         # device solve OUTSIDE the lock (tracking/mapping overlap it)
-        R2, p2, v2, b2, xw2, inlier, aborted = vi_ba_cg.full_inertial_ba_cg(
-            self.cam, jnp.float32(self.bf), self.T_cb, prob,
-            iters1=iters[0], iters2=iters[1], cg_iters=cg_iters,
-            abort_flag=abort_flag,
-        )
-        if aborted:
-            return False  # reference discards an aborted GBA (:2412-2422)
+        n_dev = len(jax.devices())
+        if n_dev > 1 and O % n_dev == 0:
+            # multi-chip: shard the visual observations over the mesh and
+            # psum the CG reductions (parallel/dist_ba.py); segment-abort is
+            # traded for the sharded solve, checked once after
+            from orb_slam3_fast_tpu.parallel import dist_ba
+
+            mesh = dist_ba.make_mesh()
+            sharded = dist_ba.shard_vi_problem(prob, mesh)
+            run = dist_ba.get_distributed_vi_ba_cg(
+                mesh, self.cam, jnp.float32(self.bf), self.T_cb,
+                iters1=iters[0], iters2=iters[1], cg_iters=cg_iters,
+            )
+            R2, p2, v2, b2, xw2, inlier = run(sharded)
+            if abort_flag is not None and abort_flag.is_set():
+                return False
+        else:
+            R2, p2, v2, b2, xw2, inlier, aborted = vi_ba_cg.full_inertial_ba_cg(
+                self.cam, jnp.float32(self.bf), self.T_cb, prob,
+                iters1=iters[0], iters2=iters[1], cg_iters=cg_iters,
+                abort_flag=abort_flag,
+            )
+            if aborted:
+                return False  # reference discards an aborted GBA (:2412-2422)
         Rc, tc = _camera_from_body(self.T_cb, R2, p2)
         Rc_np = lie.normalize_rotation_np(np.asarray(Rc)[:n_real])
         tc_np = np.asarray(tc)[:n_real]

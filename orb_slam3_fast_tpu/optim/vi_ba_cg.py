@@ -45,6 +45,10 @@ from orb_slam3_fast_tpu.utils import lie
 S = 15  # [theta(3), p(3), v(3), bg(3), ba(3)]
 
 
+def _noreduce(x):
+    return x
+
+
 def _visual_blocks_cg(cam, bf, T_cb, R_wb, p_wb, xw, prob: VIBAProblem, inlier):
     """Reprojection normal-equation pieces w.r.t. the body-pose tangent
     (first 6 state slots) WITHOUT the dense (M,K,6,3) coupling tensor:
@@ -198,9 +202,15 @@ def _implicit_vi_solve(
     Hpp, Hll, bp, bl, Wob, Hii, Hjj, Hij, g_chain,
     obs_kf, obs_lm, edge_i, edge_j, w_lm,
     state_fixed, lm_valid, lam, cg_iters: int,
+    reduce_k=_noreduce, reduce_m=_noreduce,
 ):
     """PCG on the landmark-Schur-reduced 15-D state system, applied as an
-    operator.  Returns (dx (K,15), dl (M,3))."""
+    operator.  Returns (dx (K,15), dl (M,3)).
+
+    ``reduce_k``/``reduce_m`` are identity on one device and ``psum`` over
+    the obs mesh axis in the distributed path (Hpp/Hll/bp/bl/w_lm and the
+    chain blocks must already be globally consistent there: visual blocks
+    psum-reduced by the caller, chain blocks replicated)."""
     K = Hpp.shape[0]
     M = Hll.shape[0]
     free = ~state_fixed
@@ -226,11 +236,11 @@ def _implicit_vi_solve(
 
     def Zt_v(v6):  # (K,6) -> (M,3)
         tmp = jnp.einsum("oab,oa->ob", Wob, v6[obs_kf])
-        return jnp.zeros((M, 3)).at[obs_lm].add(tmp)
+        return reduce_m(jnp.zeros((M, 3)).at[obs_lm].add(tmp))
 
     def Z_y(y):  # (M,3) -> (K,6)
         tmp = jnp.einsum("oab,ob->oa", Wob, y[obs_lm])
-        return jnp.zeros((K, 6)).at[obs_kf].add(tmp)
+        return reduce_k(jnp.zeros((K, 6)).at[obs_kf].add(tmp))
 
     def H_state_mv(v):  # block-tridiagonal chain + visual pose blocks
         out = damp * v
@@ -264,7 +274,7 @@ def _implicit_vi_solve(
     D = D + jax.vmap(jnp.diag)(damp)
     diag_coup = jnp.einsum("oab,obc,odc->oad", Wob, Vinv[obs_lm], Wob)  # (O,6,6)
     D = D.at[:, 0:6, 0:6].add(
-        -jnp.zeros((K, 6, 6)).at[obs_kf].add(diag_coup)
+        -reduce_k(jnp.zeros((K, 6, 6)).at[obs_kf].add(diag_coup))
     )
     D = jnp.where(free[:, None, None], D, jnp.eye(S))
     Dinv = jnp.linalg.inv(D + 1e-5 * jnp.eye(S))
@@ -299,22 +309,30 @@ def _implicit_vi_solve(
     return dx, dl
 
 
-def _lm_step_vi(cam, bf, T_cb, prob, R_wb, p_wb, v_w, bias, xw, inlier, lam, cg_iters):
+def _lm_step_vi(cam, bf, T_cb, prob, R_wb, p_wb, v_w, bias, xw, inlier, lam, cg_iters,
+                reduce_k=_noreduce, reduce_m=_noreduce, reduce_s=_noreduce):
     Hpp, Hll, bp, bl, Wob, w_lm, vcost = _visual_blocks_cg(
         cam, bf, T_cb, R_wb, p_wb, xw, prob, inlier
+    )
+    # distributed: visual blocks are partial sums over the local obs shard —
+    # psum them; the inertial chain is REPLICATED (edges are tiny), no psum
+    Hpp, Hll, bp, bl, w_lm, vcost = (
+        reduce_s(Hpp), reduce_s(Hll), reduce_s(bp), reduce_s(bl),
+        reduce_s(w_lm), reduce_s(vcost),
     )
     Hii, Hjj, Hij, g_chain, icost = _inertial_edge_blocks(prob, R_wb, p_wb, v_w, bias)
     dx, dl = _implicit_vi_solve(
         Hpp, Hll, bp, bl, Wob, Hii, Hjj, Hij, g_chain,
         prob.obs_kf, prob.obs_lm, prob.edge_i, prob.edge_j, w_lm,
         prob.state_fixed, prob.lm_valid, lam, cg_iters,
+        reduce_k=reduce_k, reduce_m=reduce_m,
     )
     R_new = jnp.einsum("kij,kjl->kil", R_wb, jax.vmap(lie.so3_exp)(dx[:, 0:3]))
     p_new = p_wb + jnp.einsum("kij,kj->ki", R_wb, dx[:, 3:6])
     v_new = v_w + dx[:, 6:9]
     b_new = bias + dx[:, 9:15]
     xw_new = xw + dl
-    cost_new = _visual_cost(cam, bf, T_cb, R_new, p_new, xw_new, prob, inlier)
+    cost_new = reduce_s(_visual_cost(cam, bf, T_cb, R_new, p_new, xw_new, prob, inlier))
     cost_new = cost_new + _inertial_cost(prob, R_new, p_new, v_new, b_new)
     accept = cost_new < (vcost + icost)
     pick = lambda a, b: jnp.where(accept, a, b)
@@ -345,9 +363,9 @@ def lm_segment_vi(cam, bf, T_cb, prob: VIBAProblem, R_wb, p_wb, v_w, bias, xw,
     return R_wb, p_wb, v_w, bias, xw, lam, costs[-1]
 
 
-@jax.jit
-def classify_vi(cam, bf, T_cb, prob: VIBAProblem, R_wb, p_wb, xw):
-    """chi2 inlier gate on the reprojection factors."""
+def _classify_vi_impl(cam, bf, T_cb, prob: VIBAProblem, R_wb, p_wb, xw):
+    """chi2 inlier gate on the reprojection factors (unjitted; purely local
+    per observation, so the distributed path calls it inside shard_map)."""
     R_cw, t_cw = _camera_pose(T_cb, R_wb, p_wb)
     xc = (
         jnp.einsum("oij,oj->oi", R_cw[prob.obs_kf], xw[prob.obs_lm])
@@ -359,6 +377,9 @@ def classify_vi(cam, bf, T_cb, prob: VIBAProblem, R_wb, p_wb, xw):
     chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
     delta2 = jnp.where(prob.obs_is_stereo, CHI2_STEREO, CHI2_MONO)
     return prob.obs_valid & (chi2 <= delta2) & (xc[:, 2] > 0.05)
+
+
+classify_vi = jax.jit(_classify_vi_impl)
 
 
 def full_inertial_ba_cg(cam, bf, T_cb, prob: VIBAProblem,

@@ -218,6 +218,121 @@ def make_distributed_ba_cg(mesh: Mesh, cam, bf, iters1: int = 5, iters2: int = 1
     return run
 
 
+def shard_vi_problem(prob, mesh: Mesh):
+    """Place a ``vi_ba.VIBAProblem``: visual observation arrays sharded over
+    ``obs``; body states, landmarks, and the (tiny) preintegration-edge
+    tables replicated."""
+    obs_sharding = NamedSharding(mesh, P("obs"))
+    rep = NamedSharding(mesh, P())
+    put = jax.device_put
+    return prob._replace(
+        R_wb=put(prob.R_wb, rep), p_wb=put(prob.p_wb, rep),
+        v_w=put(prob.v_w, rep), bias=put(prob.bias, rep),
+        state_fixed=put(prob.state_fixed, rep),
+        xw=put(prob.xw, rep), lm_valid=put(prob.lm_valid, rep),
+        obs_kf=put(prob.obs_kf, obs_sharding),
+        obs_lm=put(prob.obs_lm, obs_sharding),
+        obs_uv=put(prob.obs_uv, obs_sharding),
+        obs_inv_sigma2=put(prob.obs_inv_sigma2, obs_sharding),
+        obs_is_stereo=put(prob.obs_is_stereo, obs_sharding),
+        obs_valid=put(prob.obs_valid, obs_sharding),
+        edge_i=put(prob.edge_i, rep), edge_j=put(prob.edge_j, rep),
+        edge_valid=put(prob.edge_valid, rep),
+        preint=jax.tree.map(lambda a: put(a, rep), prob.preint),
+    )
+
+
+def make_distributed_vi_ba_cg(mesh: Mesh, cam, bf, T_cb,
+                              iters1: int = 5, iters2: int = 8,
+                              cg_iters: int = 40):
+    """Distributed FullInertialBA (optim/vi_ba_cg.py) — the inertial GBA of
+    the stereo-inertial north-star configs sharded over the mesh.  Visual
+    observations (where the FLOPs are) shard over ``obs``; the 15-D state,
+    landmarks, and preintegration chain replicate (the chain is O(K) tiny
+    blocks — replicating it costs less than one (K,6) psum).  Per CG matvec
+    the collective volume is one (M,3) + one (K,6) psum, exactly like the
+    visual CG path."""
+    from orb_slam3_fast_tpu.optim import vi_ba_cg
+    from orb_slam3_fast_tpu.optim.vi_ba import VIBAProblem
+
+    def psum(x):
+        return jax.lax.psum(x, "obs")
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(),          # states
+            P(), P(),                          # xw, lm_valid
+            P("obs"), P("obs"), P("obs"), P("obs"), P("obs"), P("obs"),
+            P(), P(), P(), P(),                # edges + preint pytree
+        ),
+        out_specs=(P(), P(), P(), P(), P(), P("obs")),
+    )
+    def dist(R_wb, p_wb, v_w, bias, state_fixed, xw, lm_valid,
+             o_kf, o_lm, o_uv, o_is2, o_st, o_va, e_i, e_j, e_val, preint):
+        local = VIBAProblem(
+            R_wb, p_wb, v_w, bias, state_fixed, xw, lm_valid,
+            o_kf, o_lm, o_uv, o_is2, o_st, o_va, e_i, e_j, e_val, preint,
+        )
+
+        def phase(R_wb, p_wb, v_w, bias, xw, inlier, lam, n):
+            def body(carry, _):
+                R_wb, p_wb, v_w, bias, xw, lam = carry
+                out = vi_ba_cg._lm_step_vi(
+                    cam, bf, T_cb, local, R_wb, p_wb, v_w, bias, xw, inlier,
+                    lam, cg_iters, reduce_k=psum, reduce_m=psum, reduce_s=psum,
+                )
+                return out[:6], out[6]
+
+            (R_wb, p_wb, v_w, bias, xw, lam), _ = jax.lax.scan(
+                body, (R_wb, p_wb, v_w, bias, xw, lam), None, length=n
+            )
+            return R_wb, p_wb, v_w, bias, xw, lam
+
+        def classify(R_wb, p_wb, xw):
+            # purely local chi2 gate on the obs shard
+            return vi_ba_cg._classify_vi_impl(cam, bf, T_cb, local, R_wb, p_wb, xw)
+
+        inlier = jnp.ones_like(o_va)
+        R_wb, p_wb, v_w, bias, xw, lam = phase(
+            R_wb, p_wb, v_w, bias, xw, inlier, jnp.float32(1e-4), iters1
+        )
+        inlier = classify(R_wb, p_wb, xw)
+        R_wb, p_wb, v_w, bias, xw, lam = phase(
+            R_wb, p_wb, v_w, bias, xw, inlier, jnp.float32(1e-4), iters2
+        )
+        inlier = classify(R_wb, p_wb, xw)
+        return R_wb, p_wb, v_w, bias, xw, inlier
+
+    @jax.jit
+    def run(prob):
+        return dist(
+            prob.R_wb, prob.p_wb, prob.v_w, prob.bias, prob.state_fixed,
+            prob.xw, prob.lm_valid,
+            prob.obs_kf, prob.obs_lm, prob.obs_uv,
+            prob.obs_inv_sigma2, prob.obs_is_stereo, prob.obs_valid,
+            prob.edge_i, prob.edge_j, prob.edge_valid, prob.preint,
+        )
+
+    return run
+
+
+_DIST_VI_BA_CG_CACHE: dict = {}
+
+
+def get_distributed_vi_ba_cg(mesh: Mesh, cam, bf, T_cb, iters1: int, iters2: int,
+                             cg_iters: int = 40):
+    key = (len(mesh.devices.flat), cam.kind, iters1, iters2, cg_iters)
+    fn = _DIST_VI_BA_CG_CACHE.get(key)
+    if fn is None:
+        fn = make_distributed_vi_ba_cg(
+            mesh, cam, bf, T_cb, iters1=iters1, iters2=iters2, cg_iters=cg_iters
+        )
+        _DIST_VI_BA_CG_CACHE[key] = fn
+    return fn
+
+
 _DIST_BA_CG_CACHE: dict = {}
 
 

@@ -63,7 +63,7 @@ def main(n_frames=900, laps=3.0):
         qdepth.append(backend.queue_len())
         if state == trk.OK:
             tracked += 1
-        if i % 100 == 99:
+        if i % 25 == 24:
             print(f"  frame {i+1}/{len(poses)}: n_kf={t.world.n_kf} "
                   f"queue={qdepth[-1]} loops={lc.n_loops_closed}", flush=True)
     backend.wait_idle(timeout=600)
